@@ -1,0 +1,254 @@
+"""Flat experiment configuration for the TPU-native STOVE rebuild.
+
+The reference (jlko/STOVE) keeps a single flat config object with ~50 keys,
+defaults in code, `key=value` CLI overrides, and serialization into the run
+directory [ref: model/main.py — reference mount was empty; see SURVEY.md §0].
+We reproduce the same semantics with a frozen dataclass:
+
+* defaults live here,
+* `Config.with_overrides("key=value", ...)` applies CLI-style overrides with
+  type coercion based on the field's declared type,
+* `Config.to_json` / `Config.from_json` round-trip for run-dir persistence.
+
+Values flagged "re-verify" follow SURVEY.md §8 (exact reference defaults could
+not be confirmed against the empty mount); they match the published algorithm
+(arXiv:1910.02425) and are grouped as named presets in `PRESETS` that mirror
+the five driver configs in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _coerce(value: str, typ) -> object:
+    """Coerce a CLI string to the declared field type (key=value overrides)."""
+    if typ in ("bool", bool):
+        if isinstance(value, bool):
+            return value
+        low = str(value).lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse bool from {value!r}")
+    if typ in ("int", int):
+        return int(value)
+    if typ in ("float", float):
+        return float(value)
+    if typ in ("str", str):
+        return str(value)
+    # Optional[str] / Optional[int] / tuples
+    s = str(typ)
+    if "Optional" in s or "None" in s:
+        if str(value).lower() in ("none", "null", ""):
+            return None
+        inner = s.replace("Optional[", "").replace("]", "")
+        for cand, t in (("int", int), ("float", float), ("str", str)):
+            if cand in inner:
+                return t(value)
+        return value
+    if "Tuple" in s or "tuple" in s:
+        parts = [p for p in str(value).replace("(", "").replace(")", "").split(",") if p]
+        if "int" in s:
+            return tuple(int(p) for p in parts)
+        return tuple(float(p) for p in parts)
+    return value
+
+
+@dataclass(frozen=True)
+class Config:
+    """Every hyperparameter of the framework, in one flat namespace.
+
+    Mirrors the reference's single flat config [ref: model/main.py,
+    model/config.py(?)]; key names follow SURVEY.md §5.6 where known.
+    """
+
+    # ---- experiment / run management -------------------------------------
+    run_name: str = "stove"
+    run_dir: str = "runs"
+    restore: Optional[str] = None          # run dir to resume from
+    seed: int = 0
+    nolog: bool = False                    # disable run-dir logging
+    debug: bool = False                    # shrink everything for smoke runs
+    preset: Optional[str] = None           # name of applied preset, if any
+
+    # ---- task / data ------------------------------------------------------
+    task: str = "billiards"                # billiards | gravity | avoidance
+    data_dir: str = "data"
+    num_obj: int = 3                       # O
+    img_size: int = 32                     # square grayscale frames
+    channels: int = 1
+    seq_len: int = 100                     # frames per generated sequence
+    num_train: int = 1000                  # training sequences
+    num_test: int = 300                    # test sequences
+    # physics (arena is [0, arena_size]^2; SURVEY §2.1: radius ~1.2 in 10x10)
+    arena_size: float = 10.0
+    ball_radius: float = 1.2
+    init_speed: float = 0.5                # per-step speed scale (billiards)
+    gravity_strength: float = 0.6          # G in F = G m_i m_j / (r^2 + eps)
+    gravity_eps: float = 1.0               # softening epsilon
+    gravity_center_pull: float = 0.003     # small centering force (SURVEY §2.1)
+    gravity_dt: float = 1.0                # integrator step
+    physics_substeps: int = 2              # collision substepping (ours)
+    # avoidance task
+    num_actions: int = 9                   # 8 compass + no-op
+    action_speed: float = 0.6              # controlled-ball speed per action
+    reward_contact: float = 0.0            # reward on collision (re-verify 0 vs -1)
+    reward_free: float = 1.0               # reward per collision-free step
+
+    # ---- training window / batching --------------------------------------
+    window: int = 8                        # T: frames per training window
+    batch_size: int = 256
+    num_epochs: int = 400
+    steps_per_epoch: int = 0               # 0 → ceil(num_train / batch)
+    eval_every: int = 1                    # epochs between evals
+    ckpt_every: int = 5                    # epochs between checkpoints
+    eval_rollout_steps: int = 8            # prediction horizon for eval MSE
+    eval_batch: int = 100                  # sequences used for eval
+
+    # ---- optimizer --------------------------------------------------------
+    supair_lr: float = 2e-3
+    dynamics_lr: float = 2e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_clip: float = 10.0
+    debug_anneal_lr: float = 0.0           # >0: linear decay steps (re-verify)
+
+    # ---- SuPAIR recognition ----------------------------------------------
+    patch_size: int = 10                   # ph = pw (SURVEY: ≈10x10)
+    scale_min: float = 0.1                 # min object scale (fraction of img)
+    scale_max: float = 0.6                 # max object scale
+    encoder_channels: Tuple[int, ...] = (32, 64, 128)
+    encoder_mlp_hidden: int = 256
+    min_enc_std: float = 0.01              # floor on q_sup stds
+    max_enc_std: float = 0.3
+    obj_spn_num_sums: int = 10             # RAT-SPN S per region (re-verify)
+    obj_spn_num_leaves: int = 10           # RAT-SPN I per leaf region
+    obj_spn_depth: int = 2                 # recursive splits
+    obj_spn_repetitions: int = 4           # R replicas
+    bg_spn_num_sums: int = 6
+    bg_spn_num_leaves: int = 6
+    bg_spn_depth: int = 3
+    bg_spn_repetitions: int = 2
+    leaf_min_std: float = 0.08             # Gaussian leaf std floor
+    leaf_max_std: float = 1.0
+    overlap_correction: bool = True        # marginalize already-claimed pixels
+    supair_only_epochs: int = 2            # SuPAIR warm-up (re-verify length)
+
+    # ---- dynamics / state-space model ------------------------------------
+    cl: int = 16                           # unstructured latent width per obj
+    dyn_hidden: int = 128                  # graph-net MLP width
+    dyn_layers: int = 2                    # hidden layers per MLP core
+    action_conditioned: bool = False
+    reward_head: bool = True               # only used when action_conditioned
+    min_dyn_std: float = 0.01
+    max_dyn_std: float = 0.3
+    transition_lik_std: float = 0.01       # p(z_t|z_{t-1}) extra floor
+    latent_residual: bool = True           # ℓ_t = ℓ_{t-1} + Δℓ vs direct
+    velocity_posterior: bool = True        # build q(v) from position diffs
+    size_std: float = 0.01                 # carried-size transition std
+
+    # ---- parallelism / performance ---------------------------------------
+    mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'
+    mesh_axes: Tuple[str, ...] = ("data",)
+    use_pallas: bool = True                # pallas kernels on TPU hot paths
+    compute_dtype: str = "float32"         # bfloat16 | float32 for nets
+    donate_state: bool = True
+
+    # ---- planning (MCTS) --------------------------------------------------
+    mcts_simulations: int = 100
+    mcts_horizon: int = 10
+    mcts_c_uct: float = 1.0
+    mcts_discount: float = 0.95
+    mcts_episodes: int = 10
+    mcts_episode_len: int = 100
+    mcts_batch_rollouts: bool = True       # batch frontier evals per device call
+
+    # ------------------------------------------------------------------ api
+    def with_overrides(self, *kv: str, **kwargs) -> "Config":
+        """Apply `key=value` strings (CLI style) and/or keyword overrides."""
+        updates = {}
+        fields = {f.name: f for f in dataclasses.fields(self)}
+        for item in kv:
+            if "=" not in item:
+                raise ValueError(f"override {item!r} is not key=value")
+            key, _, val = item.partition("=")
+            key = key.strip()
+            if key not in fields:
+                raise KeyError(f"unknown config key {key!r}")
+            updates[key] = _coerce(val.strip(), fields[key].type)
+        for key, val in kwargs.items():
+            if key not in fields:
+                raise KeyError(f"unknown config key {key!r}")
+            updates[key] = val
+        return dataclasses.replace(self, **updates)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        clean = {}
+        for key, val in raw.items():
+            if key not in fields:
+                continue  # forward compatibility
+            if isinstance(val, list):
+                val = tuple(val)
+            clean[key] = val
+        return cls(**clean)
+
+    # convenience geometry ---------------------------------------------------
+    @property
+    def state_dim(self) -> int:
+        """Structured state dim per object: size(2) + pos(2) + velo(2)."""
+        return 6
+
+    @property
+    def full_state_dim(self) -> int:
+        return self.state_dim + self.cl
+
+    def debug_shrunk(self) -> "Config":
+        """Tiny everything, for smoke tests (reference `debug_*` flags)."""
+        return self.with_overrides(
+            debug=True, num_train=8, num_test=4, seq_len=20, batch_size=4,
+            num_epochs=2, eval_batch=2, encoder_channels=(8, 16),
+            encoder_mlp_hidden=32, obj_spn_num_sums=3, obj_spn_num_leaves=3,
+            obj_spn_repetitions=2, obj_spn_depth=1, bg_spn_num_sums=2,
+            bg_spn_num_leaves=2, bg_spn_depth=2, bg_spn_repetitions=1,
+            dyn_hidden=32, cl=4, mcts_simulations=8, mcts_horizon=4,
+            supair_only_epochs=1,
+        )
+
+
+# The five driver configs from BASELINE.json, as named presets.
+PRESETS = {
+    # 1. SuPAIR-only object detection ELBO on 2-ball billiards frames
+    "supair_billiards2": dict(task="billiards", num_obj=2, run_name="supair2"),
+    # 2. STOVE video prediction, 3-ball billiards
+    "stove_billiards": dict(task="billiards", num_obj=3, run_name="stove_bil"),
+    # 3. STOVE on gravity (long-horizon rollout stability)
+    "stove_gravity": dict(task="gravity", num_obj=3, run_name="stove_grav",
+                          init_speed=0.0),
+    # 4. action-conditioned STOVE on avoidance (reward head)
+    "stove_avoidance": dict(task="avoidance", num_obj=3, run_name="stove_avoid",
+                            action_conditioned=True, reward_head=True),
+    # 5. MCTS planning in avoidance env using jitted model rollouts
+    "mcts_avoidance": dict(task="avoidance", num_obj=3, run_name="mcts_avoid",
+                           action_conditioned=True, reward_head=True),
+}
+
+
+def make_config(preset: Optional[str] = None, *overrides: str, **kwargs) -> Config:
+    cfg = Config()
+    if preset is not None:
+        if preset not in PRESETS:
+            raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
+        cfg = cfg.with_overrides(**PRESETS[preset])
+        cfg = dataclasses.replace(cfg, preset=preset)
+    return cfg.with_overrides(*overrides, **kwargs)
