@@ -1,0 +1,92 @@
+"""Benchmark: STOVE latent rollout throughput (frames/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (BASELINE.md "Measurement plan"): the reference (jlko/STOVE)
+publishes no throughput numbers and the reference mount was empty, so the
+baseline is the CPU-eager rollout of this same implementation — jit disabled,
+op-by-op like the PyTorch reference's python rollout loop [ref: stove.py
+rollout; SURVEY.md §3.3] — measured on this machine:
+
+    CPU eager, full-size model (O=3, cl=16, h=128), B=256, H=92, sampled:
+    1094.7 frames/s   (2026-08-16, this container, jax 0.9.0 CPU)
+
+The benchmark times the jitted `lax.scan` rollout (sampling enabled, the
+planner/eval path) on the available accelerator and reports frames/sec/chip.
+Re-measure the baseline with `python bench.py --measure-baseline`.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+CPU_EAGER_BASELINE_FPS = 1094.7  # see module docstring
+BATCH = 4096
+HORIZON = 92
+
+
+def build():
+    from stove_tpu.config import Config
+    from stove_tpu.models import stove as stove_lib
+
+    cfg = Config()  # full-size flagship (3-ball billiards STOVE)
+    specs = stove_lib.make_specs(jax.random.key(0), cfg)
+    params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+    return cfg, specs, params, stove_lib
+
+
+def measure_baseline() -> float:
+    cfg, specs, params, stove_lib = build()
+    B, H = 256, HORIZON
+    z0 = 0.1 * jax.random.normal(
+        jax.random.key(2), (B, cfg.num_obj, cfg.full_state_dim))
+    with jax.disable_jit():
+        t0 = time.perf_counter()
+        states, _ = stove_lib.rollout(params, cfg, z0, None, H,
+                                      jax.random.key(3), sample=True)
+        states.block_until_ready()
+        dt = time.perf_counter() - t0
+    return B * H / dt
+
+
+def main() -> int:
+    if "--measure-baseline" in sys.argv:
+        fps = measure_baseline()
+        print(f"CPU eager baseline: {fps:.1f} frames/s")
+        return 0
+
+    cfg, specs, params, stove_lib = build()
+    n_chips = max(1, len(jax.devices()))
+    B, H = BATCH, HORIZON
+    z0 = 0.1 * jax.random.normal(
+        jax.random.key(2), (B, cfg.num_obj, cfg.full_state_dim))
+
+    roll = jax.jit(lambda p, z, k: stove_lib.rollout(
+        p, cfg, z, None, H, k, sample=True))
+    # warm-up / compile
+    roll(params, z0, jax.random.key(3))[0].block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        states, _ = roll(params, z0, jax.random.key(4 + i))
+    states.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps_per_chip = iters * B * H / dt / n_chips
+    print(json.dumps({
+        "metric": "rollout_frames_per_sec_per_chip",
+        "value": round(fps_per_chip, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_per_chip / CPU_EAGER_BASELINE_FPS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,275 @@
+"""STOVE: structured object-aware video prediction as a sequential VAE.
+
+Mirrors the reference's `Stove` module [ref: model/video_prediction/stove.py;
+SURVEY.md §2.1], glueing SuPAIR recognition and the graph-net dynamics into a
+state-space model with the closed-form product-of-Gaussians posterior:
+
+    q(p_t | ·) ∝ N(p; μ_sup, σ_sup) · N(p; μ_dyn, σ_dyn)
+
+**TPU-first factorization.** The reference runs one python loop over t that
+interleaves SuPAIR, dynamics, and the SPN likelihood [ref: stove.py forward;
+SURVEY §3.2].  Here the same math is reorganized into three phases so the
+expensive work is batch-parallel and only the tiny recursion is sequential:
+
+  1. *Encode* (parallel over B·T): the encoder CNN proposes q_sup for every
+     frame at once.
+  2. *Recurse* (one `lax.scan` over t): dynamics step, slot alignment,
+     product-of-Gaussians, reparameterized sampling, transition/posterior
+     log-densities — a few (B, O, ·) MLPs and elementwise algebra per step.
+  3. *Score* (parallel over B·T): the SuPAIR SPN likelihood of every frame at
+     its *sampled* box, in one giant MXU-dense batch.
+
+Object slots: the encoder emits objects in arbitrary order; the posterior
+product anchors each slot to its dynamics track.  Alignment between the
+encoder's order and the dynamics' order is an exact min-cost permutation
+(enumerated statically — O! = 6 at O = 3) on position means, with the
+selection under `stop_gradient` (Hungarian matching is used only in
+*evaluation* against ground truth, as in the reference).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stove_tpu.config import Config
+from stove_tpu.models import dynamics as dyn_lib
+from stove_tpu.models import supair as supair_lib
+from stove_tpu.models.dynamics import LAT, POS, SIZE, VEL
+from stove_tpu.ops import gaussians
+
+
+class StoveSpecs(NamedTuple):
+    supair: supair_lib.SupairSpecs
+
+
+def make_specs(key: jax.Array, cfg: Config) -> StoveSpecs:
+    return StoveSpecs(supair_lib.make_specs(key, cfg))
+
+
+def init_params(key: jax.Array, cfg: Config, specs: StoveSpecs) -> Dict:
+    k_sup, k_dyn = jax.random.split(key)
+    return {
+        "supair": supair_lib.init_params(k_sup, cfg, specs.supair),
+        "dynamics": dyn_lib.init_params(k_dyn, cfg),
+    }
+
+
+# --------------------------------------------------------------------------
+# slot alignment (exact min-cost permutation, statically enumerated)
+# --------------------------------------------------------------------------
+
+def align_slots(ref_pos: jnp.ndarray, new_pos: jnp.ndarray,
+                *arrays: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Permute the O-slots of `arrays` so new_pos best matches ref_pos.
+
+    ref_pos, new_pos: (B, O, 2).  Exact assignment by enumerating all O!
+    permutations (static; fine for O ≤ 5, the reference's regime).  The
+    argmin is discrete (no gradient); values keep their gradients.
+    """
+    B, O, _ = ref_pos.shape
+    perms = jnp.asarray(list(itertools.permutations(range(O))))   # (P!, O)
+    cost = jnp.sum(
+        (ref_pos[:, :, None, :] - new_pos[:, None, :, :]) ** 2, -1)  # (B,O,O)
+    # total cost of each permutation: sum_o cost[b, o, perm[o]]
+    percost = jnp.sum(
+        jnp.take_along_axis(
+            cost[:, None, :, :].repeat(perms.shape[0], 1),
+            perms[None, :, :, None], axis=3)[..., 0],
+        axis=-1)                                                   # (B, P!)
+    best = jnp.argmin(percost, axis=-1)                            # (B,)
+    sel = perms[best]                                              # (B, O)
+    out = tuple(
+        jnp.take_along_axis(a, sel.reshape(B, O, *([1] * (a.ndim - 2))),
+                            axis=1)
+        for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+# --------------------------------------------------------------------------
+# inference + ELBO
+# --------------------------------------------------------------------------
+
+class InferOut(NamedTuple):
+    z: jnp.ndarray            # (B, T, O, 6+cl) posterior samples
+    pos_mean: jnp.ndarray     # (B, T, O, 2) posterior position means
+    kl: jnp.ndarray           # (B,) Σ_{t≥2} [log p(z_t|z_{t−1}) − log q]
+    init_logq: jnp.ndarray    # (B,) log q of the t∈{0,1} SuPAIR samples
+    init_logp: jnp.ndarray    # (B,) init prior terms (scales, latents)
+    rewards: jnp.ndarray      # (B, T) r̂ (zeros for t < 2)
+
+
+def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
+          actions: Optional[jnp.ndarray], key: jax.Array) -> InferOut:
+    """Run the three-phase posterior over a (B, T, H, W) window."""
+    B, T = frames.shape[:2]
+    O, cl = cfg.num_obj, cfg.cl
+
+    # ---- phase 1: encode every frame at once -----------------------------
+    mean_flat, std_flat = supair_lib.encode(
+        params["supair"], cfg, frames.reshape(B * T, *frames.shape[2:]))
+    sup_mean = mean_flat.reshape(B, T, O, 4)
+    sup_std = std_flat.reshape(B, T, O, 4)
+
+    key, k0, k1, kl0 = jax.random.split(key, 4)
+
+    # ---- t = 0, 1: SuPAIR-only init (SURVEY §2.1) ------------------------
+    z0_where = gaussians.sample(k0, sup_mean[:, 0], sup_std[:, 0])
+    m1, s1 = align_slots(sup_mean[:, 0, :, 2:4], sup_mean[:, 1, :, 2:4],
+                         sup_mean[:, 1], sup_std[:, 1])
+    z1_where = gaussians.sample(k1, m1, s1)
+    v1 = z1_where[..., 2:4] - z0_where[..., 2:4]
+    lat1 = jax.random.normal(kl0, (B, O, cl), frames.dtype)
+    z1 = jnp.concatenate([z1_where[..., 0:2], z1_where[..., 2:4], v1, lat1],
+                         axis=-1)
+    v0 = v1  # velocity undefined at t=0; mirror t=1 (only used for stacking)
+    z0 = jnp.concatenate([z0_where[..., 0:2], z0_where[..., 2:4], v0,
+                          lat1], axis=-1)
+
+    init_logq = (
+        jnp.sum(gaussians.log_prob(z0_where, sup_mean[:, 0], sup_std[:, 0]),
+                (-2, -1))
+        + jnp.sum(gaussians.log_prob(z1_where, m1, s1), (-2, -1)))
+    init_logp = (
+        supair_lib.where_prior_logp(cfg, z0_where)
+        + supair_lib.where_prior_logp(cfg, z1_where))
+    # lat1 sampled from its N(0,1) prior: log p − log q cancels exactly.
+
+    # ---- phase 2: the recursion as one lax.scan --------------------------
+    if actions is None:
+        actions = jnp.zeros((B, T), jnp.int32)
+
+    xs = {
+        "sup_mean": jnp.moveaxis(sup_mean[:, 2:], 1, 0),      # (T-2, B, O, 4)
+        "sup_std": jnp.moveaxis(sup_std[:, 2:], 1, 0),
+        "action": jnp.moveaxis(actions[:, 1:T - 1], 1, 0),    # a_{t−1}
+        "key": jax.random.split(key, T - 2),
+    }
+
+    def step(carry, x):
+        z_prev = carry
+        dyn = dyn_lib.apply(params["dynamics"], cfg, z_prev, x["action"])
+        d_mean, d_std = dyn.mean, dyn.std
+
+        sm, ss = align_slots(d_mean[..., POS], x["sup_mean"][..., 2:4],
+                             x["sup_mean"], x["sup_std"])
+
+        # product-of-Gaussians posteriors (position, velocity, size)
+        q_pos_m, q_pos_s = gaussians.product(
+            sm[..., 2:4], ss[..., 2:4], d_mean[..., POS], d_std[..., POS])
+        if cfg.velocity_posterior:
+            v_obs = sm[..., 2:4] - z_prev[..., POS]
+            q_vel_m, q_vel_s = gaussians.product(
+                v_obs, ss[..., 2:4], d_mean[..., VEL], d_std[..., VEL])
+        else:
+            q_vel_m, q_vel_s = d_mean[..., VEL], d_std[..., VEL]
+        q_size_m, q_size_s = gaussians.product(
+            sm[..., 0:2], ss[..., 0:2], d_mean[..., SIZE], d_std[..., SIZE])
+        q_lat_m, q_lat_s = d_mean[..., LAT], d_std[..., LAT]
+
+        q_mean = jnp.concatenate([q_size_m, q_pos_m, q_vel_m, q_lat_m], -1)
+        q_std = jnp.concatenate([q_size_s, q_pos_s, q_vel_s, q_lat_s], -1)
+
+        z_t = gaussians.sample(x["key"], q_mean, q_std)
+
+        log_p = jnp.sum(gaussians.log_prob(z_t, d_mean, d_std), (-2, -1))
+        log_q = jnp.sum(gaussians.log_prob(z_t, q_mean, q_std), (-2, -1))
+        out = {
+            "z": z_t,
+            "pos_mean": q_mean[..., POS],
+            "kl": log_p - log_q,
+            "reward": dyn.reward,
+        }
+        return z_t, out
+
+    _, scanned = jax.lax.scan(step, z1, xs)
+
+    z_all = jnp.concatenate(
+        [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
+    pos_mean = jnp.concatenate(
+        [sup_mean[:, 0:1, :, 2:4], m1[:, None, :, 2:4],
+         jnp.moveaxis(scanned["pos_mean"], 0, 1)], axis=1)
+    rewards = jnp.concatenate(
+        [jnp.zeros((B, 2), frames.dtype),
+         jnp.moveaxis(scanned["reward"], 0, 1)], axis=1)
+    kl = jnp.sum(scanned["kl"], axis=0)                        # (B,)
+    return InferOut(z_all, pos_mean, kl, init_logq, init_logp, rewards)
+
+
+class ElboOut(NamedTuple):
+    loss: jnp.ndarray
+    elbo: jnp.ndarray
+    log_lik: jnp.ndarray
+    kl: jnp.ndarray
+    reward_loss: jnp.ndarray
+    inferred: InferOut
+
+
+def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
+         actions: Optional[jnp.ndarray], rewards: Optional[jnp.ndarray],
+         key: jax.Array) -> ElboOut:
+    """Negative training loss for a window: −ELBO/T (+ reward loss)."""
+    B, T = frames.shape[:2]
+    inf = infer(params, cfg, specs, frames, actions, key)
+
+    # ---- phase 3: likelihood of every frame at its sampled box -----------
+    boxes = jnp.concatenate(
+        [inf.z[..., SIZE], inf.z[..., POS]], axis=-1)          # (B, T, O, 4)
+    ll = supair_lib.likelihood(
+        params["supair"], cfg, specs.supair,
+        frames.reshape(B * T, *frames.shape[2:]),
+        boxes.reshape(B * T, cfg.num_obj, 4))
+    log_lik = jnp.sum(ll.reshape(B, T), axis=1)                # (B,)
+
+    elbo_b = log_lik + inf.kl + inf.init_logp - inf.init_logq
+    elbo_mean = jnp.mean(elbo_b) / T
+
+    if cfg.action_conditioned and rewards is not None:
+        # r̂ at scan step t predicts the env reward of transition t−1 → t
+        target = rewards[:, 1:T - 1]
+        pred = inf.rewards[:, 2:]
+        eps = 1e-6
+        bce = -(target * jnp.log(pred + eps)
+                + (1 - target) * jnp.log(1 - pred + eps))
+        reward_loss = jnp.mean(bce)
+    else:
+        reward_loss = jnp.zeros((), frames.dtype)
+
+    loss = -elbo_mean + reward_loss
+    return ElboOut(loss, elbo_mean, jnp.mean(log_lik) / T,
+                   jnp.mean(inf.kl) / T, reward_loss, inf)
+
+
+# --------------------------------------------------------------------------
+# rollout (prediction / planning)
+# --------------------------------------------------------------------------
+
+def rollout(params: Dict, cfg: Config, z0: jnp.ndarray,
+            actions: Optional[jnp.ndarray], horizon: int, key: jax.Array,
+            sample: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterate the transition prior from z0 for `horizon` steps.
+
+    z0: (B, O, 6+cl); actions: (B, horizon) int32 or None.
+    Returns (states (B, horizon, O, 6+cl), rewards (B, horizon)).
+    One jitted `lax.scan`; this is the throughput benchmark path and the
+    MCTS simulator (SURVEY §3.3, §3.4).
+    """
+    B = z0.shape[0]
+    if actions is None:
+        actions = jnp.zeros((B, horizon), jnp.int32)
+    xs = {
+        "action": jnp.moveaxis(actions, 1, 0),
+        "key": jax.random.split(key, horizon),
+    }
+
+    def step(z, x):
+        dyn = dyn_lib.apply(params["dynamics"], cfg, z, x["action"])
+        z_next = (gaussians.sample(x["key"], dyn.mean, dyn.std)
+                  if sample else dyn.mean)
+        return z_next, {"z": z_next, "reward": dyn.reward}
+
+    _, out = jax.lax.scan(step, z0, xs)
+    return jnp.moveaxis(out["z"], 0, 1), jnp.moveaxis(out["reward"], 0, 1)

@@ -1,0 +1,141 @@
+"""SuPAIR: sum-product attend-infer-repeat recognition model.
+
+Mirrors the reference's `Supair` module [ref: model/video_prediction/supair.py;
+SURVEY.md §2 + §2.1 "Observation model"]: an encoder CNN proposes per-object
+boxes q(z_where|x); the likelihood scores
+
+    log p(x | z_where) = Σ_o log SPN_obj(patch_o)  +  log SPN_bg(x, bg-mask)
+
+where patch_o is a spatial-transformer glimpse at box o, the background SPN
+marginalizes every pixel under any object box, and (overlap correction) each
+object SPN marginalizes pixels already claimed by earlier objects so no pixel
+is scored as foreground twice.  STOVE fixes the object count O (no z_pres).
+
+TPU design: the SPN evaluations are batched over every (frame, object) at
+once — callers flatten (batch·time) — so the whole likelihood is a few large
+MXU einsum stacks (see models/spn.py) plus two separable-matmul glimpse ops
+(see ops/glimpse.py).  No per-object python loop survives except the O-step
+unrolled overlap chain (O=3, trace-time).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stove_tpu.config import Config
+from stove_tpu.models import encoder as encoder_lib
+from stove_tpu.models import spn as spn_lib
+from stove_tpu.ops import gaussians, glimpse
+
+
+class SupairSpecs(NamedTuple):
+    obj: spn_lib.SpnSpec
+    bg: spn_lib.SpnSpec
+
+
+def make_specs(key: jax.Array, cfg: Config) -> SupairSpecs:
+    k_obj, k_bg = jax.random.split(key)
+    obj = spn_lib.make_spec(
+        k_obj, cfg.patch_size**2, cfg.obj_spn_depth, cfg.obj_spn_num_sums,
+        cfg.obj_spn_num_leaves, cfg.obj_spn_repetitions,
+        min_std=cfg.leaf_min_std, max_std=cfg.leaf_max_std)
+    bg = spn_lib.make_spec(
+        k_bg, cfg.img_size**2, cfg.bg_spn_depth, cfg.bg_spn_num_sums,
+        cfg.bg_spn_num_leaves, cfg.bg_spn_repetitions,
+        min_std=cfg.leaf_min_std, max_std=cfg.leaf_max_std)
+    return SupairSpecs(obj, bg)
+
+
+def init_params(key: jax.Array, cfg: Config, specs: SupairSpecs) -> Dict:
+    k_enc, k_obj, k_bg = jax.random.split(key, 3)
+    return {
+        "encoder": encoder_lib.init_params(k_enc, cfg),
+        "obj_spn": spn_lib.init_params(k_obj, specs.obj),
+        "bg_spn": spn_lib.init_params(k_bg, specs.bg),
+    }
+
+
+def encode(params: Dict, cfg: Config, frames: jnp.ndarray
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """frames (B, H, W) → q(z_where) (mean, std), each (B, O, 4)."""
+    return encoder_lib.apply(params["encoder"], cfg, frames)
+
+
+def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
+               frames: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """log p(x | z_where): (B, H, W) frames + (B, O, 4) boxes → (B,).
+
+    boxes = (sx, sy, tx, ty) in ST [−1, 1] coordinates.
+    """
+    B, O = boxes.shape[:2]
+    P = cfg.patch_size
+    V = cfg.img_size**2
+
+    patches = glimpse.extract_glimpses(frames, boxes, P)      # (B, O, P, P)
+
+    if cfg.overlap_correction and O > 1:
+        # pixels claimed by earlier objects are marginalized from later
+        # object patches (SURVEY §2.1: overlap/count correction).  The claim
+        # chain is an O-step unrolled loop; each step samples the running
+        # coverage mask into the next object's patch frame with the same
+        # separable-matmul glimpse op.
+        cover = glimpse.box_coverage(boxes, cfg.img_size)     # (B, O, H, W)
+        claimed = jnp.zeros_like(cover[:, 0])                 # (B, H, W)
+        weights = []
+        for o in range(O):
+            w_o = 1.0 - glimpse.extract_glimpses(
+                claimed, boxes[:, o:o + 1], P)[:, 0]          # (B, P, P)
+            weights.append(jnp.clip(w_o, 0.0, 1.0))
+            claimed = jnp.maximum(claimed, cover[:, o])
+        patch_w = jnp.stack(weights, axis=1)                  # (B, O, P, P)
+        bg_vis = 1.0 - claimed                                # (B, H, W)
+    else:
+        patch_w = jnp.ones_like(patches)
+        bg_vis = glimpse.background_visibility(boxes, cfg.img_size)
+
+    obj_ll = spn_lib.spn_log_prob(
+        specs.obj, params["obj_spn"],
+        patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
+    bg_ll = spn_lib.spn_log_prob(
+        specs.bg, params["bg_spn"],
+        frames.reshape(B, V), bg_vis.reshape(B, V))
+    return jnp.sum(obj_ll.reshape(B, O), axis=1) + bg_ll
+
+
+def where_prior_logp(cfg: Config, boxes: jnp.ndarray) -> jnp.ndarray:
+    """log p(z_where): Gaussian prior on scales, uniform on positions.
+
+    Positions are uniform over [−1, 1]² (constant −2·log 2 per object);
+    scales get a broad Gaussian keeping boxes at plausible object sizes
+    [ref: supair.py priors; exact parameterization re-verify, SURVEY §8].
+    """
+    s_mean = 0.5 * (cfg.scale_min + cfg.scale_max)
+    s_std = 0.5 * (cfg.scale_max - cfg.scale_min)
+    lp_scale = gaussians.log_prob(boxes[..., 0:2], s_mean, s_std)
+    lp_pos = jnp.full_like(boxes[..., 2:4], -jnp.log(2.0))
+    return jnp.sum(lp_scale, (-2, -1)) + jnp.sum(lp_pos, (-2, -1))
+
+
+def elbo(params: Dict, cfg: Config, specs: SupairSpecs, frames: jnp.ndarray,
+         key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """SuPAIR-only ELBO (driver config 1: detection without dynamics).
+
+    E_q[log p(x|z) + log p(z) − log q(z)] with reparameterized box samples.
+    frames: (B, H, W) → scalar ELBO (mean over batch) + diagnostics.
+    """
+    mean, std = encode(params, cfg, frames)
+    z = gaussians.sample(key, mean, std)                      # (B, O, 4)
+    ll = likelihood(params, cfg, specs, frames, z)
+    lp = where_prior_logp(cfg, z)
+    lq = jnp.sum(gaussians.log_prob(z, mean, std), (-2, -1))
+    elbo_b = ll + lp - lq
+    diag = {
+        "supair_ll": jnp.mean(ll),
+        "supair_prior": jnp.mean(lp),
+        "supair_entropy": -jnp.mean(lq),
+        "boxes_mean_scale": jnp.mean(mean[..., 0:2]),
+    }
+    return jnp.mean(elbo_b), diag

@@ -1,0 +1,117 @@
+"""Planning episodes: MCTS in the real avoidance env, from pixels.
+
+Reference protocol [ref: model/mcts/ run script; SURVEY.md §3.4]: per env
+step, run MCTS from the current model state, act on the visit counts, step
+the true environment, re-infer the model state from the updated frame
+window.  Baselines: MCTS on the ground-truth env (oracle) and a random
+policy.  "model ≈ oracle ≫ random" is the paper's planning claim
+(BASELINE.md row 4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stove_tpu.config import Config
+from stove_tpu.envs import physics
+from stove_tpu.envs.data import normalize_frames
+from stove_tpu.models.bundle import StoveModel
+from stove_tpu.planning.mcts import MCTS
+from stove_tpu.planning.simulators import LearnedSimulator, TrueSimulator
+
+
+def _render(cfg: Config, state: physics.EnvState) -> jnp.ndarray:
+    return physics.render(cfg, state.pos, state.radii)
+
+
+def run_episode_model(cfg: Config, model: StoveModel, params,
+                      key: jax.Array, episode_len: Optional[int] = None
+                      ) -> float:
+    """One avoidance episode planned with the learned model from pixels."""
+    episode_len = episode_len or cfg.mcts_episode_len
+    sim = LearnedSimulator(model, params)
+    planner = MCTS(sim, cfg)
+
+    key, k_init = jax.random.split(key)
+    env_state = physics.init_state(cfg, k_init)
+    W = cfg.window
+    frames = [np.asarray(_render(cfg, env_state))] * W
+    actions = np.zeros((W,), np.int32)
+    total = 0.0
+    for _ in range(episode_len):
+        key, k_inf, k_plan, k_env = jax.random.split(key, 4)
+        window = jnp.asarray(np.stack(frames[-W:]))[None]
+        inf = model.infer(params, normalize_frames(window),
+                          jnp.asarray(actions[-W:])[None], k_inf)
+        z = inf.z[0, -1]
+        action, _counts = planner.run(z, k_plan)
+        env_state, reward = physics.avoidance_step(
+            cfg, env_state, jnp.int32(action))
+        total += float(reward)
+        frames.append(np.asarray(_render(cfg, env_state)))
+        actions = np.append(actions, action)
+    return total
+
+
+def run_episode_oracle(cfg: Config, key: jax.Array,
+                       episode_len: Optional[int] = None) -> float:
+    """MCTS with the ground-truth simulator (upper baseline)."""
+    episode_len = episode_len or cfg.mcts_episode_len
+    sim = TrueSimulator(cfg)
+    planner = MCTS(sim, cfg)
+    key, k_init = jax.random.split(key)
+    env_state = physics.init_state(cfg, k_init)
+    total = 0.0
+    for _ in range(episode_len):
+        key, k_plan = jax.random.split(key)
+        action, _ = planner.run(env_state, k_plan)
+        env_state, reward = physics.avoidance_step(
+            cfg, env_state, jnp.int32(action))
+        total += float(reward)
+    return total
+
+
+def run_episode_random(cfg: Config, key: jax.Array,
+                       episode_len: Optional[int] = None) -> float:
+    episode_len = episode_len or cfg.mcts_episode_len
+    key, k_init = jax.random.split(key)
+    env_state = physics.init_state(cfg, k_init)
+    total = 0.0
+    for _ in range(episode_len):
+        key, k_a = jax.random.split(key)
+        a = jax.random.randint(k_a, (), 0, cfg.num_actions)
+        env_state, reward = physics.avoidance_step(cfg, env_state, a)
+        total += float(reward)
+    return total
+
+
+def run_planning(cfg: Config, params=None) -> Dict[str, float]:
+    """Evaluate planning: learned-model MCTS vs oracle MCTS vs random."""
+    key = jax.random.key(cfg.seed + 7)
+    model = StoveModel(cfg)
+    if params is None:
+        if cfg.restore is not None:
+            from stove_tpu.train import checkpoint as ckpt_lib
+            tpl = {"params": model.init_params()}
+            _, loaded = ckpt_lib.restore(cfg.restore, tpl)
+            params = loaded["params"]
+        else:
+            params = model.init_params()  # untrained (smoke/debug only)
+
+    out: Dict[str, float] = {}
+    for name, fn in (
+        ("model", lambda k: run_episode_model(cfg, model, params, k)),
+        ("oracle", lambda k: run_episode_oracle(cfg, k)),
+        ("random", lambda k: run_episode_random(cfg, k)),
+    ):
+        scores = []
+        for ep in range(cfg.mcts_episodes):
+            key, sub = jax.random.split(key)
+            scores.append(fn(sub))
+        out[f"{name}_mean_reward"] = float(np.mean(scores))
+        out[f"{name}_std"] = float(np.std(scores))
+    return out

@@ -1,0 +1,106 @@
+"""Simulators for MCTS: the learned STOVE model and the true environment.
+
+The reference's planner plugs either the learned `Stove.rollout` or the true
+`AvoidanceTask` env into the same search [ref: model/mcts/; SURVEY §3.4].
+Both versions here expose the batched `Simulator` interface with jitted,
+fixed-shape device calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stove_tpu.config import Config
+from stove_tpu.envs import physics
+from stove_tpu.models.bundle import StoveModel
+from stove_tpu.planning.mcts import Simulator
+
+
+class LearnedSimulator(Simulator):
+    """Latent-space simulator: states are z (B, O, 6+cl) arrays.
+
+    Rollout evaluation uses uniformly random action sequences (the standard
+    UCT default policy) and sums discounted predicted rewards.
+    """
+
+    def __init__(self, model: StoveModel, params):
+        self.model = model
+        self.params = params
+        self.cfg = model.cfg
+        self.num_actions = model.cfg.num_actions
+        cfg = model.cfg
+
+        @jax.jit
+        def _step(params, z, actions, key):
+            states, rewards = model.rollout_raw(
+                params, z, actions[:, None], key, 1, False)
+            return states[:, 0], rewards[:, 0]
+
+        @partial(jax.jit, static_argnames=("horizon",))
+        def _evaluate(params, z, key, horizon):
+            k_act, k_roll = jax.random.split(key)
+            B = z.shape[0]
+            actions = jax.random.randint(
+                k_act, (B, horizon), 0, cfg.num_actions)
+            _, rewards = model.rollout_raw(
+                params, z, actions, k_roll, horizon, False)
+            disc = cfg.mcts_discount ** jnp.arange(horizon)
+            return jnp.sum(rewards * disc[None, :], axis=1)
+
+        self._step = _step
+        self._evaluate = _evaluate
+
+    def step(self, states, actions, key):
+        return self._step(self.params, states, actions, key)
+
+    def evaluate(self, states, key, horizon):
+        return self._evaluate(self.params, states, key, horizon)
+
+
+class TrueSimulator(Simulator):
+    """Ground-truth simulator: states are batched EnvState pytrees.
+
+    The oracle baseline (MCTS on the real env) — the reference's sanity
+    ceiling for planning performance.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.num_actions = cfg.num_actions
+
+        @jax.jit
+        def _step(states, actions, key):
+            def one(s, a):
+                return physics.avoidance_step(cfg, s, a)
+            nxt, rewards = jax.vmap(one)(states, actions)
+            return nxt, rewards
+
+        @partial(jax.jit, static_argnames=("horizon",))
+        def _evaluate(states, key, horizon):
+            B = states.pos.shape[0]
+            actions = jax.random.randint(key, (B, horizon), 0,
+                                         cfg.num_actions)
+
+            def body(carry, acts_t):
+                s = carry
+                s, r = jax.vmap(lambda ss, aa:
+                                physics.avoidance_step(cfg, ss, aa))(s, acts_t)
+                return s, r
+
+            _, rewards = jax.lax.scan(body, states,
+                                      jnp.moveaxis(actions, 1, 0))
+            disc = cfg.mcts_discount ** jnp.arange(horizon)
+            return jnp.sum(jnp.moveaxis(rewards, 0, 1) * disc[None, :], 1)
+
+        self._step = _step
+        self._evaluate = _evaluate
+
+    def step(self, states, actions, key):
+        return self._step(states, actions, key)
+
+    def evaluate(self, states, key, horizon):
+        return self._evaluate(states, key, horizon)

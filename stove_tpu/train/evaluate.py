@@ -1,0 +1,71 @@
+"""Evaluation: conditioned rollout position error + reward accuracy.
+
+Reference protocol [ref: train.py eval/test; SURVEY.md §3.3]: condition the
+posterior on `window` frames, roll the latent dynamics forward, match
+predicted objects to ground truth **once at the handoff** (the reference uses
+Hungarian matching; we use the exact enumerated assignment, identical result),
+report position MSE per rollout step — the paper's headline figure (Fig. 3).
+
+Positions are compared in the [0, 1]-normalized image frame (paper units).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stove_tpu.envs.data import Episode, normalize_frames
+from stove_tpu.models.bundle import StoveModel
+from stove_tpu.models.dynamics import POS
+from stove_tpu.ops import matching
+
+
+def _model_pos_to_01(pos: jnp.ndarray) -> jnp.ndarray:
+    """Model/ST [−1, 1] coords → [0, 1] image-normalized coords."""
+    return (pos + 1.0) * 0.5
+
+
+def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
+                    t_cond: Optional[int] = None,
+                    t_pred: Optional[int] = None,
+                    batch: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """The paper's eval: per-step position MSE over a prediction rollout."""
+    cfg = model.cfg
+    t_cond = t_cond or cfg.window
+    t_pred = t_pred or cfg.eval_rollout_steps
+    B = min(batch or cfg.eval_batch, ep.frames.shape[0])
+    frames = normalize_frames(ep.frames[:B, :t_cond])
+    actions = ep.actions[:B]
+
+    inf = model.infer(params, frames, actions[:, :t_cond], key)
+    z_last = inf.z[:, -1]
+    roll_actions = actions[:, t_cond - 1: t_cond - 1 + t_pred]
+    states, rewards = model.rollout(params, z_last, roll_actions, key,
+                                    horizon=t_pred, sample=False)
+    pred = _model_pos_to_01(states[..., POS])                  # (B, T, O, 2)
+    last_inferred = _model_pos_to_01(inf.pos_mean[:, -1])      # (B, O, 2)
+
+    # ground truth in [0,1] units for t = t_cond .. t_cond + t_pred − 1
+    true = ep.states[:B, t_cond: t_cond + t_pred, :, :2] / cfg.arena_size
+    true_handoff = ep.states[:B, t_cond - 1, :, :2] / cfg.arena_size
+
+    # match once at the handoff frame, then keep slots fixed
+    perm = matching.match_positions(last_inferred, true_handoff)  # (B, O)
+    pred_matched = jax.vmap(lambda p, s: p[:, s])(pred, perm)
+
+    se = jnp.sum((pred_matched - true) ** 2, axis=-1)          # (B, T, O)
+    mse_per_step = jnp.mean(se, axis=(0, 2))                   # (T,)
+    out = {
+        "mse_per_step": mse_per_step,
+        "mse_mean": jnp.mean(mse_per_step),
+        "mse_final": mse_per_step[-1],
+        "detect_mse": jnp.mean(jnp.sum(
+            (matching.apply_permutation(last_inferred, perm)
+             - true_handoff) ** 2, -1)),
+    }
+    if cfg.action_conditioned:
+        true_r = ep.rewards[:B, t_cond - 1: t_cond - 1 + t_pred]
+        out["reward_mae"] = jnp.mean(jnp.abs(rewards - true_r))
+    return out

@@ -1,0 +1,252 @@
+"""Trainer: epoch loop over on-device 8-frame windows, Adam, eval, ckpt.
+
+Reference parity [ref: model/video_prediction/train.py; SURVEY.md §2, §3.2]:
+epoch loop over random windows from the 100-frame sequences, Adam with
+separate learning rates for the SuPAIR and dynamics parts, ELBO (+ reward)
+loss, periodic rollout-MSE eval, checkpointing, structured logging, and a
+SuPAIR-only warm-up curriculum.
+
+TPU design:
+* the whole corpus lives in HBM as uint8; windowing, normalization, and the
+  training step are one fused jitted call per step (north-star: load /
+  normalize / window on device);
+* data parallelism via NamedSharding over the 'data' mesh axis — params
+  replicated, the sampled window batch sharded on its leading dim, gradient
+  all-reduce inserted by XLA over ICI (SURVEY §5.8);
+* the train state is donated, so params/optimizer memory is reused in-place.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stove_tpu.config import Config
+from stove_tpu.envs import data as data_lib
+from stove_tpu.models.bundle import StoveModel
+from stove_tpu.parallel import mesh as mesh_lib
+from stove_tpu.train import checkpoint as ckpt_lib
+from stove_tpu.train import evaluate as eval_lib
+from stove_tpu.train.metrics import MetricsLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam with separate lrs for supair vs dynamics + global-norm clip
+    (reference: two parameter groups [ref: train.py optimizer setup])."""
+    def labels(params):
+        return {
+            "supair": jax.tree_util.tree_map(lambda _: "supair",
+                                             params["supair"]),
+            "dynamics": jax.tree_util.tree_map(lambda _: "dynamics",
+                                               params["dynamics"]),
+        }
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {
+                "supair": optax.adam(cfg.supair_lr, b1=cfg.adam_b1,
+                                     b2=cfg.adam_b2),
+                "dynamics": optax.adam(cfg.dynamics_lr, b1=cfg.adam_b1,
+                                       b2=cfg.adam_b2),
+            },
+            labels,
+        ),
+    )
+
+
+class Trainer:
+    """Reference `Trainer(config).train()` equivalent [ref: train.py]."""
+
+    def __init__(self, cfg: Config, run_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.run_dir = run_dir or os.path.join(cfg.run_dir, cfg.run_name)
+        self.logger = MetricsLogger(None if cfg.nolog else self.run_dir)
+        if not cfg.nolog:
+            ckpt_lib.save_config(self.run_dir, cfg)
+
+        # data (generated on demand; stays on device as uint8)
+        self.train_ep = data_lib.ensure_dataset(cfg, "train")
+        self.test_ep = data_lib.ensure_dataset(cfg, "test")
+
+        # model + optimizer
+        self.model = StoveModel(cfg)
+        self.optimizer = make_optimizer(cfg)
+        params = self.model.init_params()
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params, opt_state,
+                                jax.random.key(cfg.seed + 2),
+                                jnp.zeros((), jnp.int32))
+
+        # mesh + shardings (single-device mesh degrades gracefully)
+        self.mesh = mesh_lib.make_mesh(cfg)
+        self._build_steps()
+
+        self.start_epoch = 0
+        if cfg.restore is not None:
+            self.restore(cfg.restore)
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self):
+        cfg = self.cfg
+        model = self.model
+        optimizer = self.optimizer
+        actions = cfg.action_conditioned
+
+        def sample_batch(ep: data_lib.Episode, key, batch):
+            return data_lib.sample_windows(ep, cfg, key, batch)
+
+        def train_step(state: TrainState, batch) -> tuple:
+            key, k_elbo = jax.random.split(state.key)
+
+            def loss_fn(params):
+                out = model.elbo(params, batch["frames"],
+                                 batch["actions"] if actions else None,
+                                 batch["rewards"] if actions else None,
+                                 k_elbo)
+                return out.loss, out
+
+            grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {
+                "loss": out.loss, "elbo": out.elbo, "log_lik": out.log_lik,
+                "kl": out.kl, "reward_loss": out.reward_loss,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return TrainState(params, opt_state, key, state.step + 1), metrics
+
+        def supair_step(state: TrainState, batch) -> tuple:
+            """SuPAIR-only warm-up: detection ELBO on individual frames."""
+            key, k_elbo = jax.random.split(state.key)
+            frames = batch["frames"].reshape(-1, cfg.img_size, cfg.img_size)
+
+            def loss_fn(params):
+                value, diag = model.supair_elbo(params, frames, k_elbo)
+                return -value, diag
+
+            grads, diag = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": -diag["supair_ll"],
+                       "supair_ll": diag["supair_ll"],
+                       "mean_scale": diag["boxes_mean_scale"]}
+            return TrainState(params, opt_state, key, state.step + 1), metrics
+
+        donate = (0,) if self.cfg.donate_state else ()
+        self._sample_batch = jax.jit(sample_batch,
+                                     static_argnames=("batch",))
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._supair_step = jax.jit(supair_step, donate_argnums=donate)
+
+    # ------------------------------------------------------------- training
+    def steps_per_epoch(self) -> int:
+        if self.cfg.steps_per_epoch:
+            return self.cfg.steps_per_epoch
+        return max(1, self.train_ep.frames.shape[0] // self.cfg.batch_size)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        warmup = epoch < cfg.supair_only_epochs
+        step_fn = self._supair_step if warmup else self._train_step
+        last = {}
+        for _ in range(self.steps_per_epoch()):
+            self.state, sample_key = self._next_key()
+            batch = self._sample_batch(self.train_ep, sample_key,
+                                       cfg.batch_size)
+            self.state, metrics = step_fn(self.state, batch)
+            last = metrics
+        last = {k: float(v) for k, v in last.items()}
+        self.logger.log(int(self.state.step), "train", epoch=epoch,
+                        warmup=warmup, **last)
+        return last
+
+    def _next_key(self):
+        key, sub = jax.random.split(self.state.key)
+        return self.state._replace(key=key), sub
+
+    def evaluate(self, epoch: int) -> Dict[str, float]:
+        self.state, key = self._next_key()
+        m = eval_lib.rollout_metrics(self.model, self.state.params,
+                                     self.test_ep, key)
+        flat = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+                for k, v in m.items()}
+        self.logger.log(int(self.state.step), "eval", epoch=epoch, **flat)
+        if not self.cfg.nolog:
+            try:
+                self._dump_gif(epoch, key)
+            except Exception as e:  # viz must never kill training
+                print(f"[viz] gif dump failed: {e}")
+        return flat
+
+    def _dump_gif(self, epoch: int, key) -> None:
+        """true | predicted gif for one test sequence (reference gif dumps)."""
+        from stove_tpu.train import visualize as viz
+
+        cfg = self.cfg
+        t_cond, t_pred = cfg.window, cfg.eval_rollout_steps
+        frames = data_lib.normalize_frames(self.test_ep.frames[:1, :t_cond])
+        actions = self.test_ep.actions[:1]
+        inf = self.model.infer(self.state.params, frames,
+                               actions[:, :t_cond], key)
+        states, _ = self.model.rollout(
+            self.state.params, inf.z[:, -1],
+            actions[:, t_cond - 1:t_cond - 1 + t_pred], key,
+            horizon=t_pred, sample=False)
+        true = data_lib.normalize_frames(
+            self.test_ep.frames[0, t_cond:t_cond + t_pred])
+        viz.dump_rollout_gif(cfg, self.run_dir, f"ep{epoch:04d}",
+                             np.asarray(true),
+                             np.asarray(states[0, :, :, 2:4]))
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        result: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            train_metrics = self.train_epoch(epoch)
+            result.update(train_metrics)
+            if (epoch + 1) % cfg.eval_every == 0:
+                result.update(self.evaluate(epoch))
+            if not cfg.nolog and (epoch + 1) % cfg.ckpt_every == 0:
+                self.save(epoch)
+        if not cfg.nolog:
+            self.save(cfg.num_epochs - 1)
+        return result
+
+    # ----------------------------------------------------------- persistence
+    def save(self, epoch: int) -> None:
+        ckpt_lib.save(self.run_dir, int(self.state.step), {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "key": jax.random.key_data(self.state.key),
+            "epoch": np.int32(epoch),
+        })
+
+    def restore(self, run_dir: str) -> None:
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "key": jax.random.key_data(self.state.key),
+            "epoch": np.int32(0),
+        }
+        step, loaded = ckpt_lib.restore(run_dir, template)
+        self.state = TrainState(
+            loaded["params"], loaded["opt_state"],
+            jax.random.wrap_key_data(loaded["key"]),
+            jnp.asarray(step, jnp.int32))
+        self.start_epoch = int(loaded["epoch"]) + 1

@@ -1,0 +1,175 @@
+"""Model-stack tests: encoder, dynamics, SuPAIR likelihood, STOVE ELBO/rollout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stove_tpu.config import Config
+from stove_tpu.envs import data as data_lib
+from stove_tpu.models import dynamics as dyn_lib
+from stove_tpu.models import stove as stove_lib
+from stove_tpu.models import supair as supair_lib
+from stove_tpu.models.dynamics import LAT, POS, SIZE, VEL
+
+
+@pytest.fixture(scope="module")
+def cfgm():
+    return Config().debug_shrunk()
+
+
+@pytest.fixture(scope="module")
+def setup(cfgm):
+    specs = stove_lib.make_specs(jax.random.key(0), cfgm)
+    params = stove_lib.init_params(jax.random.key(1), cfgm, specs)
+    return specs, params
+
+
+class TestEncoder:
+    def test_bounds(self, cfgm, setup):
+        specs, params = setup
+        frames = jax.random.uniform(jax.random.key(2), (5, 32, 32))
+        mean, std = supair_lib.encode(params["supair"], cfgm, frames)
+        assert mean.shape == (5, cfgm.num_obj, 4)
+        assert jnp.all(mean[..., 0:2] >= cfgm.scale_min)
+        assert jnp.all(mean[..., 0:2] <= cfgm.scale_max)
+        assert jnp.all(jnp.abs(mean[..., 2:4]) <= 1.0)
+        assert jnp.all(std >= cfgm.min_enc_std) and jnp.all(std <= cfgm.max_enc_std)
+
+
+class TestDynamics:
+    def test_zero_init_is_identity_flow(self, cfgm, setup):
+        """With zero-init output layer, the transition starts as pure
+        constant-velocity integration (Δv = 0 ⇒ p' = p + v)."""
+        _, params = setup
+        B, O = 4, cfgm.num_obj
+        z = jax.random.normal(jax.random.key(3),
+                              (B, O, cfgm.full_state_dim)) * 0.3
+        out = dyn_lib.apply(params["dynamics"], cfgm, z)
+        np.testing.assert_allclose(out.mean[..., VEL], z[..., VEL], atol=1e-6)
+        np.testing.assert_allclose(out.mean[..., POS],
+                                   z[..., POS] + z[..., VEL], atol=1e-6)
+        np.testing.assert_allclose(out.mean[..., SIZE], z[..., SIZE],
+                                   atol=1e-6)
+
+    def test_permutation_equivariance(self, cfgm, setup):
+        """Graph net must be equivariant to object slot permutation."""
+        _, params = setup
+        z = jax.random.normal(jax.random.key(4),
+                              (2, cfgm.num_obj, cfgm.full_state_dim)) * 0.3
+        out1 = dyn_lib.apply(params["dynamics"], cfgm, z)
+        perm = jnp.array([2, 0, 1])[:cfgm.num_obj]
+        out2 = dyn_lib.apply(params["dynamics"], cfgm, z[:, perm])
+        np.testing.assert_allclose(out2.mean, out1.mean[:, perm], atol=1e-5)
+
+    def test_action_conditioning_changes_output(self, cfgm):
+        cfg = cfgm.with_overrides(action_conditioned=True)
+        params = dyn_lib.init_params(jax.random.key(5), cfg)
+        # zero-init head: actions must reach stds/attention path at least
+        # after one grad step; here check shapes + reward head range
+        z = jax.random.normal(jax.random.key(6),
+                              (3, cfg.num_obj, cfg.full_state_dim)) * 0.3
+        out = dyn_lib.apply(params, cfg, z, jnp.array([0, 3, 8]))
+        assert out.reward.shape == (3,)
+        assert jnp.all((out.reward >= 0) & (out.reward <= 1))
+
+
+class TestSupair:
+    def test_likelihood_finite_and_prefers_objects(self, cfgm, setup):
+        """Boxes on the rendered balls should outscore empty-corner boxes
+        after a few SPN-only gradient steps (sanity: signal exists)."""
+        specs, params = setup
+        cfg = cfgm
+        ep = data_lib.generate(cfg.with_overrides(seq_len=4, num_obj=2), 8,
+                               jax.random.key(7), quantize=False)
+        frames = ep.frames.reshape(-1, 32, 32)[:8]
+        boxes = jnp.tile(jnp.array([0.24, 0.24, 0.0, 0.0]),
+                         (8, cfg.num_obj, 1))
+        ll = supair_lib.likelihood(params["supair"], cfg, specs.supair,
+                                   frames, boxes)
+        assert ll.shape == (8,)
+        assert jnp.all(jnp.isfinite(ll))
+
+    def test_supair_elbo_improves(self, cfgm, setup):
+        specs, params = setup
+        cfg = cfgm
+        ep = data_lib.generate(cfg.with_overrides(seq_len=4), 8,
+                               jax.random.key(8), quantize=False)
+        frames = ep.frames.reshape(-1, 32, 32)
+
+        @jax.jit
+        def loss_fn(p, k):
+            v, _ = supair_lib.elbo(p["supair"], cfg, specs.supair, frames, k)
+            return -v
+
+        import optax
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+        p = params
+        grad_fn = jax.jit(jax.grad(loss_fn))
+        l0 = float(loss_fn(p, jax.random.key(0)))
+        for i in range(15):
+            g = grad_fn(p, jax.random.key(i))
+            up, state = opt.update(g, state)
+            p = optax.apply_updates(p, up)
+        l1 = float(loss_fn(p, jax.random.key(99)))
+        assert l1 < l0
+
+
+class TestStove:
+    def test_elbo_shapes_and_finiteness(self, cfgm, setup):
+        specs, params = setup
+        frames = jax.random.uniform(jax.random.key(9), (3, cfgm.window, 32, 32))
+        out = stove_lib.elbo(params, cfgm, specs, frames, None, None,
+                             jax.random.key(10))
+        assert jnp.isfinite(out.loss)
+        assert out.inferred.z.shape == (3, cfgm.window, cfgm.num_obj,
+                                        cfgm.full_state_dim)
+
+    def test_align_slots(self):
+        ref = jnp.array([[[0.0, 0.0], [1.0, 1.0], [-1.0, -1.0]]])
+        new = jnp.array([[[1.1, 1.0], [-0.9, -1.0], [0.1, 0.0]]])
+        aligned = stove_lib.align_slots(ref, new, new)
+        np.testing.assert_allclose(
+            aligned, [[[0.1, 0.0], [1.1, 1.0], [-0.9, -1.0]]], atol=1e-6)
+
+    def test_action_conditioned_elbo_with_rewards(self, cfgm):
+        cfg = cfgm.with_overrides(action_conditioned=True, reward_head=True,
+                                  task="avoidance")
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        B, T = 2, cfg.window
+        frames = jax.random.uniform(jax.random.key(2), (B, T, 32, 32))
+        actions = jax.random.randint(jax.random.key(3), (B, T), 0, 9)
+        rewards = jax.random.bernoulli(jax.random.key(4), 0.8,
+                                       (B, T)).astype(jnp.float32)
+        out = stove_lib.elbo(params, cfg, specs, frames, actions, rewards,
+                             jax.random.key(5))
+        assert jnp.isfinite(out.loss)
+        assert float(out.reward_loss) > 0
+
+    def test_rollout_mean_constant_velocity_at_init(self, cfgm, setup):
+        """Zero-init dynamics ⇒ mean rollout = straight-line motion."""
+        specs, params = setup
+        B, O, D = 2, cfgm.num_obj, cfgm.full_state_dim
+        z0 = jnp.zeros((B, O, D))
+        z0 = z0.at[..., SIZE].set(0.2)
+        z0 = z0.at[..., VEL].set(jnp.array([0.05, -0.02]))
+        states, _ = stove_lib.rollout(params, cfgm, z0, None, 5,
+                                      jax.random.key(6), sample=False)
+        expect_x = 0.05 * jnp.arange(1, 6)
+        np.testing.assert_allclose(states[0, :, 0, 2], expect_x, atol=1e-5)
+
+    def test_rollout_sampling_stochastic(self, cfgm, setup):
+        specs, params = setup
+        z0 = 0.1 * jax.random.normal(jax.random.key(7),
+                                     (2, cfgm.num_obj, cfgm.full_state_dim))
+        s1, _ = stove_lib.rollout(params, cfgm, z0, None, 4,
+                                  jax.random.key(8), sample=True)
+        s2, _ = stove_lib.rollout(params, cfgm, z0, None, 4,
+                                  jax.random.key(9), sample=True)
+        assert not jnp.allclose(s1, s2)
+        # same key → deterministic
+        s3, _ = stove_lib.rollout(params, cfgm, z0, None, 4,
+                                  jax.random.key(8), sample=True)
+        np.testing.assert_allclose(s1, s3)

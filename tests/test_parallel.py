@@ -1,0 +1,81 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4: the TPU
+equivalent of testing multi-node without a cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from stove_tpu.config import Config
+from stove_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return mesh_lib.make_mesh()
+
+
+class TestMesh:
+    def test_autofill_shape(self, mesh8):
+        assert mesh8.devices.shape == (8,)
+        assert mesh8.axis_names == ("data",)
+
+    def test_config_shape(self):
+        cfg = Config().with_overrides(mesh_shape=(4,), mesh_axes=("data",))
+        m = mesh_lib.make_mesh(cfg)
+        assert m.devices.shape == (4,)
+
+    def test_shard_and_replicate(self, mesh8):
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = mesh_lib.shard_batch(mesh8, x)
+        assert xs.sharding.spec == P("data")
+        p = mesh_lib.replicate(mesh8, {"w": jnp.ones((3, 3))})
+        assert p["w"].sharding.spec == P()
+
+    def test_pad_to_multiple(self):
+        x = jnp.ones((5, 2))
+        padded, n = mesh_lib.pad_to_multiple(x, 8)
+        assert padded.shape == (8, 2) and n == 5
+
+
+class TestShardedTraining:
+    def test_sharded_grad_matches_single_device(self, mesh8):
+        """Data-parallel grads via sharded jit == single-device grads."""
+        from stove_tpu.models import stove as stove_lib
+
+        cfg = Config().debug_shrunk()
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        frames = jax.random.uniform(jax.random.key(2),
+                                    (8, cfg.window, 32, 32))
+
+        def loss(p, f):
+            return stove_lib.elbo(p, cfg, specs, f, None, None,
+                                  jax.random.key(3)).loss
+
+        g_single = jax.jit(jax.grad(loss))(params, frames)
+
+        fs = mesh_lib.shard_batch(mesh8, frames)
+        ps = mesh_lib.replicate(mesh8, params)
+        g_sharded = jax.jit(jax.grad(loss))(ps, fs)
+
+        for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                        jax.tree_util.tree_leaves(g_sharded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert jnp.isfinite(out)
