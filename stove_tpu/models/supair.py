@@ -36,6 +36,28 @@ class SupairSpecs(NamedTuple):
     bg: spn_lib.SpnSpec
 
 
+def _pallas_available() -> bool:
+    """Fused kernels run on real TPU backends only.
+
+    CPU tests use the dense path (interpret-mode equivalence is covered in
+    tests/test_pallas.py).  The remote "axon" TPU tunnel used in this
+    development container executes XLA fine but hangs on Mosaic/Pallas
+    kernels (verified 2026-08-16: even a trivial elementwise pallas_call
+    never completes); it is detected via its env marker and excluded.
+    Set STOVE_FORCE_PALLAS=1 to override on real TPU hosts.
+    """
+    import os
+    if os.environ.get("STOVE_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("PALLAS_AXON_POOL_IPS") or \
+            os.environ.get("JAX_PLATFORMS", "") == "axon":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def make_specs(key: jax.Array, cfg: Config) -> SupairSpecs:
     k_obj, k_bg = jax.random.split(key)
     obj = spn_lib.make_spec(
@@ -96,12 +118,21 @@ def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
         patch_w = jnp.ones_like(patches)
         bg_vis = glimpse.background_visibility(boxes, cfg.img_size)
 
-    obj_ll = spn_lib.spn_log_prob(
-        specs.obj, params["obj_spn"],
-        patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
-    bg_ll = spn_lib.spn_log_prob(
-        specs.bg, params["bg_spn"],
-        frames.reshape(B, V), bg_vis.reshape(B, V))
+    if cfg.use_pallas and _pallas_available():
+        from stove_tpu.ops.pallas_spn import spn_log_prob_fused
+        obj_ll = spn_log_prob_fused(
+            specs.obj, params["obj_spn"],
+            patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
+        bg_ll = spn_log_prob_fused(
+            specs.bg, params["bg_spn"],
+            frames.reshape(B, V), bg_vis.reshape(B, V))
+    else:
+        obj_ll = spn_lib.spn_log_prob(
+            specs.obj, params["obj_spn"],
+            patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
+        bg_ll = spn_lib.spn_log_prob(
+            specs.bg, params["bg_spn"],
+            frames.reshape(B, V), bg_vis.reshape(B, V))
     return jnp.sum(obj_ll.reshape(B, O), axis=1) + bg_ll
 
 

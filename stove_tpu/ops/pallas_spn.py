@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: the entire RAT-SPN forward fused into one kernel.
+
+The SPN stack (Gaussian leaves → scope contraction → alternating
+product/sum layers → root mixture) is evaluated layer-by-layer by XLA in
+`stove_tpu.models.spn.spn_log_prob`; every layer boundary is a potential HBM
+round-trip.  This kernel keeps a whole batch-tile's activations in VMEM from
+pixels to root log-density: one `pallas_call`, zero intermediate HBM traffic,
+with the layer loops fully unrolled at trace time (the region graph is
+static — SURVEY.md §7 stage 2 / stage 7a).
+
+Layouts are chosen for the TPU lane dimension: per-variable work is shaped
+(TB, I, V) with V (≥100) on lanes, and all contractions are expressed as 2-D
+`jnp.dot`s on the MXU (batch/region loops are unrolled — P ≤ 4, R ≤ 8).
+
+Gradient: `spn_log_prob_fused` carries a `jax.custom_vjp` whose backward
+runs XLA autodiff of the mathematically identical dense path — forward
+inference (eval, planning, likelihood scoring) takes the fused kernel, the
+training backward keeps XLA's well-fused gradient.  Equivalence is pinned by
+tests in interpret mode (CPU) and on device.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stove_tpu.models import spn as spn_lib
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def _prepare(spec: spn_lib.SpnSpec, params: Dict[str, jnp.ndarray]):
+    """Precompute kernel-friendly parameter layouts (tiny host-free ops)."""
+    mu_t = jnp.transpose(params["leaf_mu"], (0, 2, 1))         # (R, I, V)
+    std_t = jnp.transpose(
+        spn_lib._leaf_std(spec, params["leaf_raw_std"]), (0, 2, 1))
+    scope_t = jnp.transpose(jnp.asarray(spec.scopes), (0, 2, 1))  # (R, V, L)
+    sum_ws = [
+        jnp.exp(jax.nn.log_softmax(params[f"sum_logits_{d}"], axis=-1))
+        for d in range(spec.depth - 1, -1, -1)
+    ]                                                           # (R, P, S, C²)
+    root_logw = jax.nn.log_softmax(params["root_logits"])       # (R*S,)
+    return mu_t, std_t, scope_t, sum_ws, root_logw
+
+
+def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
+    R, I, S, D = (spec.num_reps, spec.num_leaves, spec.num_sums, spec.depth)
+    V, L = spec.num_vars, spec.num_leaf_regions
+
+    def kernel(x_ref, w_ref, mu_ref, std_ref, scope_ref, *rest):
+        sum_refs = rest[:D]
+        root_ref = rest[D]
+        o_ref = rest[D + 1]
+
+        x = x_ref[:]                                           # (TB, V)
+        wgt = w_ref[:]
+        tops = []
+        for r in range(R):                                     # unrolled
+            mu = mu_ref[r]                                     # (I, V)
+            std = std_ref[r]
+            z = (x[:, None, :] - mu[None]) / std[None]         # (TB, I, V)
+            ll = (-0.5 * (z * z + _LOG2PI) - jnp.log(std)[None])
+            ll = ll * wgt[:, None, :]
+            # scope contraction: (TB·I, V) @ (V, L) on the MXU
+            acts = jnp.dot(ll.reshape(tile * I, V), scope_ref[r],
+                           preferred_element_type=jnp.float32)
+            acts = jnp.transpose(acts.reshape(tile, I, L), (0, 2, 1))
+
+            c = I
+            for level, d in enumerate(range(D - 1, -1, -1)):   # unrolled
+                P = 2 ** d
+                left = acts[:, 0::2, :]                        # (TB, P, c)
+                right = acts[:, 1::2, :]
+                prod = (left[:, :, :, None] + right[:, :, None, :]
+                        ).reshape(tile, P, c * c)
+                m = jnp.max(prod, axis=-1, keepdims=True)
+                e = jnp.exp(prod - m)
+                outs = []
+                for p in range(P):                             # unrolled, ≤4
+                    wmat = sum_refs[level][r, p]               # (S, c²)
+                    mixed = jnp.dot(e[:, p, :], wmat.T,
+                                    preferred_element_type=jnp.float32)
+                    outs.append(jnp.log(jnp.maximum(mixed, 1e-38))
+                                + m[:, p, :])
+                acts = jnp.stack(outs, axis=1)                 # (TB, P, S)
+                c = S
+            tops.append(acts[:, 0, :])                         # (TB, S)
+
+        top = jnp.concatenate(tops, axis=-1)                   # (TB, R·S)
+        scored = top + root_ref[:]                             # log-weights
+        m = jnp.max(scored, axis=-1, keepdims=True)
+        out = jnp.log(jnp.sum(jnp.exp(scored - m), axis=-1,
+                              keepdims=True)) + m              # (TB, 1)
+        o_ref[:] = out
+
+    return kernel
+
+
+def _fused_forward(spec: spn_lib.SpnSpec, params, x, weight,
+                   tile: int, interpret: bool) -> jnp.ndarray:
+    B, V = x.shape
+    mu_t, std_t, scope_t, sum_ws, root_logw = _prepare(spec, params)
+    if weight is None:
+        weight = jnp.ones_like(x)
+
+    pad = (-B) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        weight = jnp.pad(weight, ((0, pad), (0, 0)))
+    Bp = B + pad
+
+    kernel = _make_kernel(spec, tile)
+    grid = (Bp // tile,)
+    D = spec.depth
+
+    tile_spec = pl.BlockSpec((tile, V), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec, tile_spec, full(mu_t), full(std_t),
+                  full(scope_t)]
+        + [full(wd) for wd in sum_ws]
+        + [full(root_logw.reshape(1, -1))],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        interpret=interpret,
+    )(x, weight, mu_t, std_t, scope_t, *sum_ws,
+      root_logw.reshape(1, -1))
+    return out[:B, 0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def spn_log_prob_fused(spec: spn_lib.SpnSpec, params, x, weight,
+                       tile: int = 128, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Drop-in fused replacement for `spn_lib.spn_log_prob`.
+
+    x: (B, V); weight: (B, V) or None → (B,) log-densities.
+    """
+    return _fused_forward(spec, params, x, weight, tile, interpret)
+
+
+def _fwd(spec, params, x, weight, tile, interpret):
+    out = _fused_forward(spec, params, x, weight, tile, interpret)
+    return out, (params, x, weight)
+
+
+def _bwd(spec, tile, interpret, res, g):
+    params, x, weight = res
+    # backward through the mathematically identical dense XLA path
+    _, vjp = jax.vjp(
+        lambda p, xx, ww: spn_lib.spn_log_prob(spec, p, xx, ww),
+        params, x, weight if weight is not None else jnp.ones_like(x))
+    dp, dx, dw = vjp(g)
+    return dp, dx, (None if weight is None else dw)
+
+
+spn_log_prob_fused.defvjp(_fwd, _bwd)
