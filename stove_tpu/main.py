@@ -93,6 +93,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{k}: {np.asarray(v)}")
         return 0
 
+    if mode == "profile":
+        from stove_tpu.utils.profiling import profile_train_steps
+        out = profile_train_steps(cfg)
+        print(f"trace written to {out}")
+        return 0
+
     if mode == "mcts":
         from stove_tpu.planning import runner
         result = runner.run_planning(cfg)

@@ -51,9 +51,11 @@ def _mlp_init(key, sizes, scale=2.0):
     return layers
 
 
-def _mlp(layers, x, final_act=None):
+def _mlp(layers, x, final_act=None, dtype=jnp.float32):
+    """MLP with configurable matmul operand dtype (f32 accumulation)."""
     for i, lyr in enumerate(layers):
-        x = x @ lyr["w"] + lyr["b"]
+        x = jnp.dot(x.astype(dtype), lyr["w"].astype(dtype),
+                    preferred_element_type=jnp.float32) + lyr["b"]
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
     return final_act(x) if final_act is not None else x
@@ -88,6 +90,7 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
     Returns the Gaussian p(z_t | z_{t−1}, a) and predicted reward.
     """
     B, O, _ = z.shape
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     inp = z
     if cfg.action_conditioned:
         if action is None:
@@ -95,20 +98,21 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
         onehot = jax.nn.one_hot(action, cfg.num_actions, dtype=z.dtype)
         inp = jnp.concatenate([z, jnp.tile(onehot[:, None, :], (1, O, 1))], -1)
 
-    e = _mlp(params["embed"], inp)                            # (B, O, h)
-    s = _mlp(params["self"], e)                               # (B, O, h)
+    e = _mlp(params["embed"], inp, dtype=cd)                  # (B, O, h)
+    s = _mlp(params["self"], e, dtype=cd)                     # (B, O, h)
 
     # ordered pair tensor (B, O, O, 2h): receiver o listens to sender j
     pair = jnp.concatenate([
         jnp.broadcast_to(e[:, :, None, :], (B, O, O, e.shape[-1])),
         jnp.broadcast_to(e[:, None, :, :], (B, O, O, e.shape[-1])),
     ], axis=-1)
-    rel = _mlp(params["rel"], pair)                           # (B, O, O, h)
-    att = jax.nn.sigmoid(_mlp(params["att"], pair))           # (B, O, O, 1)
+    rel = _mlp(params["rel"], pair, dtype=cd)                 # (B, O, O, h)
+    att = jax.nn.sigmoid(_mlp(params["att"], pair, dtype=cd))  # (B, O, O, 1)
     mask = (1.0 - jnp.eye(O, dtype=z.dtype))[None, :, :, None]
     r = jnp.sum(rel * att * mask, axis=2)                     # (B, O, h)
 
-    out = _mlp(params["out"], jnp.concatenate([s, r], -1))    # (B, O, d_out)
+    out = _mlp(params["out"], jnp.concatenate([s, r], -1),
+               dtype=cd)                                      # (B, O, d_out)
     dv = out[..., 0:2]
     dl = out[..., 2:2 + cfg.cl]
     raw_std = out[..., 2 + cfg.cl:]
@@ -126,7 +130,8 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
 
     if cfg.reward_head and "reward" in params:
         pooled = jnp.mean(r, axis=1)                          # (B, h)
-        reward = jax.nn.sigmoid(_mlp(params["reward"], pooled))[..., 0]
+        reward = jax.nn.sigmoid(_mlp(params["reward"], pooled,
+                                     dtype=cd))[..., 0]
     else:
         reward = jnp.zeros((B,), z.dtype)
     return DynOut(mean, std, reward)

@@ -61,17 +61,29 @@ def apply(params: Dict, cfg: Config, frames: jnp.ndarray
     Runs every frame independently — callers flatten (batch, time) together
     so the whole window's encoding is one big MXU-friendly batch
     (SURVEY §3.2: encoder runs over B·T at once).
+
+    With cfg.compute_dtype="bfloat16" the conv/matmul operands run in bf16
+    on the MXU with float32 accumulation (box params stay f32 downstream).
     """
-    x = frames[..., None].astype(jnp.float32)                 # (B, H, W, 1)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = frames[..., None].astype(cd)                          # (B, H, W, 1)
     for conv in params["convs"]:
+        # operands in cd; MXU accumulates f32 internally.  No
+        # preferred_element_type here: its transpose (backward) rejects the
+        # mixed bf16-operand/f32-cotangent combination.
         x = jax.lax.conv_general_dilated(
-            x, conv["w"], window_strides=(2, 2), padding="SAME",
+            x, conv["w"].astype(cd), window_strides=(2, 2), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x = jax.nn.relu(x + conv["b"])
+        x = jax.nn.relu(x.astype(jnp.float32) + conv["b"]).astype(cd)
     x = x.reshape(x.shape[0], -1)
-    x = jax.nn.relu(x @ params["mlp1"]["w"] + params["mlp1"]["b"])
-    x = jax.nn.relu(x @ params["mlp2"]["w"] + params["mlp2"]["b"])
-    out = x @ params["head"]["w"] + params["head"]["b"]
+
+    def dense(layer, v):
+        return jnp.dot(v, layer["w"].astype(cd),
+                       preferred_element_type=jnp.float32) + layer["b"]
+
+    x = jax.nn.relu(dense(params["mlp1"], x)).astype(cd)
+    x = jax.nn.relu(dense(params["mlp2"], x)).astype(cd)
+    out = dense(params["head"], x)
     out = out.reshape(-1, cfg.num_obj, 8)
     raw_mean, raw_std = out[..., :4], out[..., 4:]
 

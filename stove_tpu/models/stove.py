@@ -109,8 +109,9 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     O, cl = cfg.num_obj, cfg.cl
 
     # ---- phase 1: encode every frame at once -----------------------------
-    mean_flat, std_flat = supair_lib.encode(
-        params["supair"], cfg, frames.reshape(B * T, *frames.shape[2:]))
+    with jax.named_scope("stove_encode"):
+        mean_flat, std_flat = supair_lib.encode(
+            params["supair"], cfg, frames.reshape(B * T, *frames.shape[2:]))
     sup_mean = mean_flat.reshape(B, T, O, 4)
     sup_std = std_flat.reshape(B, T, O, 4)
 
@@ -185,7 +186,8 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         }
         return z_t, out
 
-    _, scanned = jax.lax.scan(step, z1, xs)
+    with jax.named_scope("stove_scan"):
+        _, scanned = jax.lax.scan(step, z1, xs)
 
     z_all = jnp.concatenate(
         [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
@@ -218,10 +220,11 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     # ---- phase 3: likelihood of every frame at its sampled box -----------
     boxes = jnp.concatenate(
         [inf.z[..., SIZE], inf.z[..., POS]], axis=-1)          # (B, T, O, 4)
-    ll = supair_lib.likelihood(
-        params["supair"], cfg, specs.supair,
-        frames.reshape(B * T, *frames.shape[2:]),
-        boxes.reshape(B * T, cfg.num_obj, 4))
+    with jax.named_scope("stove_likelihood"):
+        ll = supair_lib.likelihood(
+            params["supair"], cfg, specs.supair,
+            frames.reshape(B * T, *frames.shape[2:]),
+            boxes.reshape(B * T, cfg.num_obj, 4))
     log_lik = jnp.sum(ll.reshape(B, T), axis=1)                # (B,)
 
     elbo_b = log_lik + inf.kl + inf.init_logp - inf.init_logq

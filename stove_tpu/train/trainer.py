@@ -54,13 +54,21 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
                                                params["dynamics"]),
         }
 
+    def lr(base: float):
+        if cfg.debug_anneal_lr > 0:
+            # linear decay to 10% over debug_anneal_lr steps (reference
+            # anneal flag semantics re-verify, SURVEY §8)
+            return optax.linear_schedule(base, 0.1 * base,
+                                         int(cfg.debug_anneal_lr))
+        return base
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.multi_transform(
             {
-                "supair": optax.adam(cfg.supair_lr, b1=cfg.adam_b1,
+                "supair": optax.adam(lr(cfg.supair_lr), b1=cfg.adam_b1,
                                      b2=cfg.adam_b2),
-                "dynamics": optax.adam(cfg.dynamics_lr, b1=cfg.adam_b1,
+                "dynamics": optax.adam(lr(cfg.dynamics_lr), b1=cfg.adam_b1,
                                        b2=cfg.adam_b2),
             },
             labels,

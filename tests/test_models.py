@@ -173,3 +173,26 @@ class TestStove:
         s3, _ = stove_lib.rollout(params, cfgm, z0, None, 4,
                                   jax.random.key(8), sample=True)
         np.testing.assert_allclose(s1, s3)
+
+
+class TestPrecision:
+    def test_bfloat16_compute_path(self, cfgm):
+        """bf16 matmul path: finite loss close to f32, finite grads."""
+        import jax
+        import jax.numpy as jnp
+        f32 = cfgm.with_overrides(compute_dtype="float32")
+        b16 = cfgm.with_overrides(compute_dtype="bfloat16")
+        specs = stove_lib.make_specs(jax.random.key(0), f32)
+        params = stove_lib.init_params(jax.random.key(1), f32, specs)
+        frames = jax.random.uniform(jax.random.key(2), (2, f32.window, 32, 32))
+
+        l32 = stove_lib.elbo(params, f32, specs, frames, None, None,
+                             jax.random.key(3)).loss
+        l16 = stove_lib.elbo(params, b16, specs, frames, None, None,
+                             jax.random.key(3)).loss
+        assert abs(float(l32) - float(l16)) / abs(float(l32)) < 0.02
+
+        g = jax.grad(lambda p: stove_lib.elbo(
+            p, b16, specs, frames, None, None, jax.random.key(3)).loss)(params)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(g))
