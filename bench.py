@@ -54,10 +54,52 @@ def measure_baseline() -> float:
     return B * H / dt
 
 
+def bench_train_step(dtype: str) -> float:
+    """Secondary: full ELBO train-step throughput (windows/sec), batch 128."""
+    import optax
+
+    from stove_tpu.config import Config
+    from stove_tpu.models import stove as stove_lib
+
+    cfg = Config().with_overrides(compute_dtype=dtype)
+    specs = stove_lib.make_specs(jax.random.key(0), cfg)
+    params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+    B = 128
+    frames = jax.random.uniform(jax.random.key(2),
+                                (B, cfg.window, cfg.img_size, cfg.img_size))
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: stove_lib.elbo(p, cfg, specs, frames, None, None,
+                                     key).loss)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, jax.random.key(3))
+    loss.block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, jax.random.key(i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters * B / dt
+
+
 def main() -> int:
     if "--measure-baseline" in sys.argv:
         fps = measure_baseline()
         print(f"CPU eager baseline: {fps:.1f} frames/s")
+        return 0
+
+    if "--train" in sys.argv:
+        for dtype in ("float32", "bfloat16"):
+            wps = bench_train_step(dtype)
+            print(f"train step ({dtype}): {wps:.1f} windows/s "
+                  f"({wps * 8:.0f} frames/s)")
         return 0
 
     cfg, specs, params, stove_lib = build()

@@ -14,10 +14,9 @@ planning/mcts.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from stove_tpu.config import Config
 from stove_tpu.models import stove as stove_lib

@@ -11,8 +11,6 @@ for larger O and as the test oracle.
 from __future__ import annotations
 
 import itertools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ fixed-shape device calls.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

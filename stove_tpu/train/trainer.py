@@ -19,7 +19,6 @@ TPU design:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax

@@ -102,8 +102,6 @@ def render_states(cfg: Config, positions: np.ndarray, radii: np.ndarray
                   ) -> np.ndarray:
     """Render (T, O, 2) model-coordinate positions to (T, H, W) frames
     (for visualizing pure-latent rollouts)."""
-    import jax
-
     from stove_tpu.envs import physics
     from stove_tpu.envs.data import model_to_arena
 

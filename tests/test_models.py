@@ -120,8 +120,9 @@ class TestStove:
     def test_elbo_shapes_and_finiteness(self, cfgm, setup):
         specs, params = setup
         frames = jax.random.uniform(jax.random.key(9), (3, cfgm.window, 32, 32))
-        out = stove_lib.elbo(params, cfgm, specs, frames, None, None,
-                             jax.random.key(10))
+        out = jax.jit(lambda p, f, k: stove_lib.elbo(
+            p, cfgm, specs, f, None, None, k))(params, frames,
+                                               jax.random.key(10))
         assert jnp.isfinite(out.loss)
         assert out.inferred.z.shape == (3, cfgm.window, cfgm.num_obj,
                                         cfgm.full_state_dim)
@@ -143,8 +144,9 @@ class TestStove:
         actions = jax.random.randint(jax.random.key(3), (B, T), 0, 9)
         rewards = jax.random.bernoulli(jax.random.key(4), 0.8,
                                        (B, T)).astype(jnp.float32)
-        out = stove_lib.elbo(params, cfg, specs, frames, actions, rewards,
-                             jax.random.key(5))
+        out = jax.jit(lambda p, f, a, r, k: stove_lib.elbo(
+            p, cfg, specs, f, a, r, k))(params, frames, actions, rewards,
+                                        jax.random.key(5))
         assert jnp.isfinite(out.loss)
         assert float(out.reward_loss) > 0
 

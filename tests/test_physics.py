@@ -41,8 +41,9 @@ class TestBilliards:
         m = jnp.ones((2,))
         state = physics.EnvState(pos, vel, r, m)
         p0 = jnp.sum(vel, axis=0)
+        step = jax.jit(lambda s: physics.billiards_step(cfg, s))
         for _ in range(50):
-            state = physics.billiards_step(cfg, state)
+            state = step(state)
         np.testing.assert_allclose(jnp.sum(state.vel, 0), p0, atol=1e-5)
         # head-on equal mass: velocities exchange along x
         assert state.vel[0, 0] < 0 < state.vel[1, 0]

@@ -32,10 +32,10 @@ class TestMCTS:
     def test_oracle_beats_random(self):
         """MCTS on the true env must clearly beat the random policy
         (BASELINE.md planning row)."""
-        cfg = _cfg(mcts_simulations=36, mcts_horizon=6, mcts_episode_len=15)
+        cfg = _cfg(mcts_simulations=27, mcts_horizon=5, mcts_episode_len=10)
         key = jax.random.key(2)
         oracle_scores, random_scores = [], []
-        for i in range(3):
+        for i in range(2):
             key, k1, k2 = jax.random.split(key, 3)
             oracle_scores.append(runner.run_episode_oracle(cfg, k1))
             random_scores.append(runner.run_episode_random(cfg, k2))
