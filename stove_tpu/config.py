@@ -167,6 +167,8 @@ class Config:
     mcts_episodes: int = 10
     mcts_episode_len: int = 100
     mcts_batch_rollouts: bool = True       # batch frontier evals per device call
+    mcts_frontier: int = 4                 # leaves expanded per device call
+    mcts_virtual_loss: float = 1.0         # selection diversification weight
 
     # ------------------------------------------------------------------ api
     def with_overrides(self, *kv: str, **kwargs) -> "Config":

@@ -79,54 +79,80 @@ class MCTS:
     def run(self, root_state, key: jax.Array,
             n_simulations: Optional[int] = None) -> Tuple[int, np.ndarray]:
         """Search from root_state (unbatched pytree).  Returns (best action,
-        visit counts)."""
+        visit counts).
+
+        Frontier batching: `mcts_frontier` (K) leaves are selected per
+        iteration under a virtual loss (their paths' visit counts are
+        pre-incremented and a pessimistic value is charged so consecutive
+        selections diverge), then ALL K·A children are expanded and evaluated
+        in a single fixed-shape device call — K·A rollouts per round-trip
+        instead of the reference's one [ref: model/mcts/mcts.py serial
+        evaluation; SURVEY §3.4]."""
         cfg = self.cfg
         A = self.sim.num_actions
+        K = max(1, cfg.mcts_frontier)
         n_sim = n_simulations or cfg.mcts_simulations
+        g = cfg.mcts_discount
         root = _Node(jax.tree_util.tree_map(lambda x: x[None], root_state))
 
         visits = 0
         while visits < n_sim:
             key, k_step, k_eval = jax.random.split(key, 3)
-            # ---- selection
-            path = [root]
-            node = root
-            while node.children is not None:
-                node = max(node.children,
-                           key=lambda ch: _ucb(node, ch, cfg.mcts_c_uct))
-                path.append(node)
 
-            # ---- expansion: all A children in one batched step
+            # ---- selection of up to K distinct leaves with virtual loss
+            leaves, paths = [], []
+            for _ in range(K):
+                path = [root]
+                node = root
+                while node.children is not None:
+                    node = max(node.children,
+                               key=lambda ch: _ucb(node, ch, cfg.mcts_c_uct))
+                    path.append(node)
+                if node in leaves:
+                    break  # tree exhausted for this round
+                leaves.append(node)
+                paths.append(path)
+                for n in path:  # virtual loss: discourage re-selection
+                    n.N += A
+                    n.W -= A * cfg.mcts_virtual_loss
+                if node is root:
+                    break  # root not yet expanded: only one leaf exists
+
+            k = len(leaves)
+            # ---- expansion: all k·A children in one batched step.  Always
+            # pad to the full K·A shape so every call hits one executable.
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(
+                    list(xs) + [xs[-1]] * (K - k), axis=0),
+                *[leaf.state for leaf in leaves])
             tiled = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (A,) + x.shape[1:]), node.state)
-            acts = jnp.arange(A, dtype=jnp.int32)
+                lambda x: jnp.repeat(x, A, axis=0), stacked)   # (K·A, ...)
+            acts = jnp.tile(jnp.arange(A, dtype=jnp.int32), K)
             nxt, rewards = self.sim.step(tiled, acts, k_step)
 
-            # ---- evaluation: all A children in one batched rollout
+            # ---- evaluation: all k·A children in one batched rollout
             returns = self.sim.evaluate(nxt, k_eval, cfg.mcts_horizon)
             rewards_np = np.asarray(rewards, dtype=np.float64)
             returns_np = np.asarray(returns, dtype=np.float64)
+            child_values = rewards_np + g * returns_np         # (K·A,)
 
-            node.children = []
-            g = cfg.mcts_discount
-            child_values = rewards_np + g * returns_np
-            for a in range(A):
-                child = _Node(
-                    jax.tree_util.tree_map(lambda x: x[a:a + 1], nxt),
-                    float(rewards_np[a]))
-                child.N = 1
-                child.W = float(child_values[a])
-                node.children.append(child)
+            for i, (leaf, path) in enumerate(zip(leaves, paths)):
+                leaf.children = []
+                for a in range(A):
+                    j = i * A + a
+                    child = _Node(
+                        jax.tree_util.tree_map(lambda x: x[j:j + 1], nxt),
+                        float(rewards_np[j]))
+                    child.N = 1
+                    child.W = float(child_values[j])
+                    leaf.children.append(child)
 
-            # ---- backup: propagate the mean of the new children's values
-            mean_v = float(np.mean(child_values))
-            for depth, n in enumerate(reversed(path)):
-                n.N += A
-                # discount the bootstrap value back along the path, adding
-                # the intermediate transition rewards
-                n.W += A * mean_v
-                mean_v = n.reward + g * mean_v
-            visits += A
+                # ---- backup: undo virtual loss, add the real value
+                mean_v = float(np.mean(child_values[i * A:(i + 1) * A]))
+                for n in reversed(path):
+                    n.W += A * (mean_v + cfg.mcts_virtual_loss)
+                    mean_v = n.reward + g * mean_v
+                visits += A
 
         counts = np.array([ch.N for ch in root.children])
         # prefer higher value among equally-visited on small budgets
