@@ -93,6 +93,45 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{k}: {np.asarray(v)}")
         return 0
 
+    if mode == "viz":
+        # render a conditioned rollout from a trained checkpoint:
+        # true | predicted gif + detection frame grid (reference gif dumps)
+        import numpy as _np
+
+        from stove_tpu.envs import data as data_lib
+        from stove_tpu.models.bundle import StoveModel
+        from stove_tpu.models.dynamics import POS, SIZE
+        from stove_tpu.train import checkpoint as ckpt_lib
+        from stove_tpu.train import visualize as viz
+
+        if cfg.restore is None:
+            raise SystemExit("mode=viz requires restore=<run_dir>")
+        model = StoveModel(cfg)
+        _, loaded = ckpt_lib.restore(cfg.restore, {"params": model.init_params()})
+        params = loaded["params"]
+        ep = data_lib.ensure_dataset(cfg, "test")
+        t_cond, t_pred = cfg.window, cfg.eval_rollout_steps
+        frames = data_lib.normalize_frames(ep.frames[:1, :t_cond])
+        key = jax.random.key(cfg.seed)
+        inf = model.infer(params, frames, ep.actions[:1, :t_cond], key)
+        states, _ = model.rollout(
+            params, inf.z[:, -1],
+            ep.actions[:1, t_cond - 1:t_cond - 1 + t_pred], key,
+            horizon=t_pred, sample=False)
+        true = data_lib.normalize_frames(
+            ep.frames[0, t_cond:t_cond + t_pred])
+        gif = viz.dump_rollout_gif(cfg, cfg.restore, "viz",
+                                   _np.asarray(true),
+                                   _np.asarray(states[0, :, :, POS]))
+        boxes = _np.concatenate([_np.asarray(inf.z[0, :, :, SIZE]),
+                                 _np.asarray(inf.z[0, :, :, POS])], -1)
+        grid = viz.frame_grid(
+            f"{cfg.restore}/detect_grid.png",
+            _np.asarray(data_lib.normalize_frames(ep.frames[0, :t_cond])),
+            boxes)
+        print(f"wrote {gif}\nwrote {grid}")
+        return 0
+
     if mode == "profile":
         from stove_tpu.utils.profiling import profile_train_steps
         out = profile_train_steps(cfg)

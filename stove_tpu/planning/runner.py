@@ -6,6 +6,10 @@ the true environment, re-infer the model state from the updated frame
 window.  Baselines: MCTS on the ground-truth env (oracle) and a random
 policy.  "model ≈ oracle ≫ random" is the paper's planning claim
 (BASELINE.md row 4).
+
+All env interactions (init, step, render) are jitted once and shared across
+episodes — the remote-TPU link makes per-op dispatch latency the dominant
+cost otherwise.
 """
 
 from __future__ import annotations
@@ -24,67 +28,82 @@ from stove_tpu.planning.mcts import MCTS
 from stove_tpu.planning.simulators import LearnedSimulator, TrueSimulator
 
 
-def _render(cfg: Config, state: physics.EnvState) -> jnp.ndarray:
-    return physics.render(cfg, state.pos, state.radii)
+class EnvHandles:
+    """Jitted environment callables, built once per config."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.init = jax.jit(lambda k: physics.init_state(cfg, k))
+        self.step = jax.jit(
+            lambda s, a: physics.avoidance_step(cfg, s, a))
+        self.render = jax.jit(
+            lambda s: physics.render(cfg, s.pos, s.radii))
 
 
 def run_episode_model(cfg: Config, model: StoveModel, params,
-                      key: jax.Array, episode_len: Optional[int] = None
-                      ) -> float:
-    """One avoidance episode planned with the learned model from pixels."""
+                      key: jax.Array, episode_len: Optional[int] = None,
+                      planner: Optional[MCTS] = None,
+                      env: Optional[EnvHandles] = None) -> float:
+    """One avoidance episode planned with the learned model from pixels.
+
+    Pass shared `planner`/`env` across episodes — they hold the compiled
+    executables (rebuilding per episode would recompile).
+    """
     episode_len = episode_len or cfg.mcts_episode_len
-    sim = LearnedSimulator(model, params)
-    planner = MCTS(sim, cfg)
+    planner = planner or MCTS(LearnedSimulator(model, params), cfg)
+    env = env or EnvHandles(cfg)
 
     key, k_init = jax.random.split(key)
-    env_state = physics.init_state(cfg, k_init)
+    env_state = env.init(k_init)
     W = cfg.window
-    frames = [np.asarray(_render(cfg, env_state))] * W
+    frames = [np.asarray(env.render(env_state))] * W
     actions = np.zeros((W,), np.int32)
     total = 0.0
     for _ in range(episode_len):
-        key, k_inf, k_plan, k_env = jax.random.split(key, 4)
+        key, k_inf, k_plan = jax.random.split(key, 3)
         window = jnp.asarray(np.stack(frames[-W:]))[None]
         inf = model.infer(params, normalize_frames(window),
                           jnp.asarray(actions[-W:])[None], k_inf)
         z = inf.z[0, -1]
         action, _counts = planner.run(z, k_plan)
-        env_state, reward = physics.avoidance_step(
-            cfg, env_state, jnp.int32(action))
+        env_state, reward = env.step(env_state, jnp.int32(action))
         total += float(reward)
-        frames.append(np.asarray(_render(cfg, env_state)))
+        frames.append(np.asarray(env.render(env_state)))
         actions = np.append(actions, action)
     return total
 
 
 def run_episode_oracle(cfg: Config, key: jax.Array,
-                       episode_len: Optional[int] = None) -> float:
+                       episode_len: Optional[int] = None,
+                       planner: Optional[MCTS] = None,
+                       env: Optional[EnvHandles] = None) -> float:
     """MCTS with the ground-truth simulator (upper baseline)."""
     episode_len = episode_len or cfg.mcts_episode_len
-    sim = TrueSimulator(cfg)
-    planner = MCTS(sim, cfg)
+    planner = planner or MCTS(TrueSimulator(cfg), cfg)
+    env = env or EnvHandles(cfg)
     key, k_init = jax.random.split(key)
-    env_state = physics.init_state(cfg, k_init)
+    env_state = env.init(k_init)
     total = 0.0
     for _ in range(episode_len):
         key, k_plan = jax.random.split(key)
         action, _ = planner.run(env_state, k_plan)
-        env_state, reward = physics.avoidance_step(
-            cfg, env_state, jnp.int32(action))
+        env_state, reward = env.step(env_state, jnp.int32(action))
         total += float(reward)
     return total
 
 
 def run_episode_random(cfg: Config, key: jax.Array,
-                       episode_len: Optional[int] = None) -> float:
+                       episode_len: Optional[int] = None,
+                       env: Optional[EnvHandles] = None) -> float:
     episode_len = episode_len or cfg.mcts_episode_len
+    env = env or EnvHandles(cfg)
     key, k_init = jax.random.split(key)
-    env_state = physics.init_state(cfg, k_init)
+    env_state = env.init(k_init)
     total = 0.0
     for _ in range(episode_len):
         key, k_a = jax.random.split(key)
         a = jax.random.randint(k_a, (), 0, cfg.num_actions)
-        env_state, reward = physics.avoidance_step(cfg, env_state, a)
+        env_state, reward = env.step(env_state, a)
         total += float(reward)
     return total
 
@@ -102,11 +121,17 @@ def run_planning(cfg: Config, params=None) -> Dict[str, float]:
         else:
             params = model.init_params()  # untrained (smoke/debug only)
 
+    env = EnvHandles(cfg)
+    model_planner = MCTS(LearnedSimulator(model, params), cfg)
+    oracle_planner = MCTS(TrueSimulator(cfg), cfg)
     out: Dict[str, float] = {}
     for name, fn in (
-        ("model", lambda k: run_episode_model(cfg, model, params, k)),
-        ("oracle", lambda k: run_episode_oracle(cfg, k)),
-        ("random", lambda k: run_episode_random(cfg, k)),
+        ("model", lambda k: run_episode_model(cfg, model, params, k,
+                                              planner=model_planner, env=env)),
+        ("oracle", lambda k: run_episode_oracle(cfg, k,
+                                                planner=oracle_planner,
+                                                env=env)),
+        ("random", lambda k: run_episode_random(cfg, k, env=env)),
     ):
         scores = []
         for ep in range(cfg.mcts_episodes):
@@ -114,4 +139,6 @@ def run_planning(cfg: Config, params=None) -> Dict[str, float]:
             scores.append(fn(sub))
         out[f"{name}_mean_reward"] = float(np.mean(scores))
         out[f"{name}_std"] = float(np.std(scores))
+        print(f"[plan] {name}: mean={out[f'{name}_mean_reward']:.2f} "
+              f"over {cfg.mcts_episodes} episodes", flush=True)
     return out

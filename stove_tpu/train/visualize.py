@@ -98,6 +98,33 @@ def side_by_side_gif(path: str, rows: Sequence[np.ndarray],
     return path
 
 
+def frame_grid(path: str, frames: np.ndarray,
+               boxes: Optional[np.ndarray] = None,
+               cols: int = 8, scale: int = 4) -> str:
+    """(T, H, W) frames → one PNG grid image (reference's matplotlib frame
+    grids [ref: visualize.py(?)], PIL-only)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    T = frames.shape[0]
+    rows = (T + cols - 1) // cols
+    H = frames.shape[1] * scale
+    gap = scale
+    canvas = np.full((rows * (H + gap) - gap, cols * (H + gap) - gap, 3),
+                     30, np.uint8)
+    for t in range(T):
+        rgb = _to_rgb(frames[t], scale)
+        if boxes is not None:
+            for o in range(boxes.shape[1]):
+                _draw_box(rgb, np.asarray(boxes[t, o]),
+                          _COLORS[o % len(_COLORS)], scale)
+        r, c = divmod(t, cols)
+        y, x = r * (H + gap), c * (H + gap)
+        canvas[y:y + H, x:x + H] = rgb
+    Image.fromarray(canvas).save(path)
+    return path
+
+
 def render_states(cfg: Config, positions: np.ndarray, radii: np.ndarray
                   ) -> np.ndarray:
     """Render (T, O, 2) model-coordinate positions to (T, H, W) frames
