@@ -145,6 +145,7 @@ class Config:
     dyn_layers: int = 2                    # hidden layers per MLP core
     action_conditioned: bool = False
     reward_head: bool = True               # only used when action_conditioned
+    reward_balanced_loss: bool = True      # inverse-frequency class weights
     min_dyn_std: float = 0.01
     max_dyn_std: float = 0.3
     transition_lik_std: float = 0.01       # p(z_t|z_{t-1}) extra floor
@@ -156,6 +157,7 @@ class Config:
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
     use_pallas: bool = True                # pallas kernels on TPU hot paths
+    fused_epoch: bool = True               # scan whole epoch in one jit call
     compute_dtype: str = "float32"         # bfloat16 | float32 for nets
     donate_state: bool = True
 

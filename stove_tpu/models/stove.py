@@ -237,6 +237,14 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         eps = 1e-6
         bce = -(target * jnp.log(pred + eps)
                 + (1 - target) * jnp.log(1 - pred + eps))
+        if cfg.reward_balanced_loss:
+            # collisions are rare (~14% of avoidance steps); weight the two
+            # classes to equal effective mass so the head doesn't collapse
+            # to the base rate
+            pos_rate = jnp.clip(jnp.mean(target), 0.05, 0.95)
+            w = jnp.where(target > 0.5, 0.5 / pos_rate,
+                          0.5 / (1.0 - pos_rate))
+            bce = bce * w
         reward_loss = jnp.mean(bce)
     else:
         reward_loss = jnp.zeros((), frames.dtype)

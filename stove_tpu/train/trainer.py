@@ -155,11 +155,38 @@ class Trainer:
                        "mean_scale": diag["boxes_mean_scale"]}
             return TrainState(params, opt_state, key, state.step + 1), metrics
 
+        def fused_epoch(step_fn):
+            """Whole epoch as one lax.scan inside one jit call.
+
+            The per-step host→device dispatch dominates wall clock on
+            remote/tunneled TPUs (measured: 18k windows/s on device vs ~100
+            steps/epoch-minute host-driven), so the epoch loop — window
+            sampling included — runs on device.
+            """
+            def epoch_fn(state: TrainState, ep: data_lib.Episode,
+                         n_steps: int):
+                def body(state, _):
+                    key, k_samp = jax.random.split(state.key)
+                    state = state._replace(key=key)
+                    batch = sample_batch(ep, k_samp, cfg.batch_size)
+                    return step_fn(state, batch)
+
+                state, ms = jax.lax.scan(body, state, None, length=n_steps)
+                last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                return state, last
+            return epoch_fn
+
         donate = (0,) if self.cfg.donate_state else ()
         self._sample_batch = jax.jit(sample_batch,
                                      static_argnames=("batch",))
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._supair_step = jax.jit(supair_step, donate_argnums=donate)
+        self._train_epoch_fused = jax.jit(fused_epoch(train_step),
+                                          donate_argnums=donate,
+                                          static_argnames=("n_steps",))
+        self._supair_epoch_fused = jax.jit(fused_epoch(supair_step),
+                                           donate_argnums=donate,
+                                           static_argnames=("n_steps",))
 
     # ------------------------------------------------------------- training
     def steps_per_epoch(self) -> int:
@@ -170,14 +197,21 @@ class Trainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         warmup = epoch < cfg.supair_only_epochs
-        step_fn = self._supair_step if warmup else self._train_step
-        last = {}
-        for _ in range(self.steps_per_epoch()):
-            self.state, sample_key = self._next_key()
-            batch = self._sample_batch(self.train_ep, sample_key,
-                                       cfg.batch_size)
-            self.state, metrics = step_fn(self.state, batch)
+        n = self.steps_per_epoch()
+        if cfg.fused_epoch:
+            epoch_fn = (self._supair_epoch_fused if warmup
+                        else self._train_epoch_fused)
+            self.state, metrics = epoch_fn(self.state, self.train_ep,
+                                           n_steps=n)
             last = metrics
+        else:
+            step_fn = self._supair_step if warmup else self._train_step
+            last = {}
+            for _ in range(n):
+                self.state, sample_key = self._next_key()
+                batch = self._sample_batch(self.train_ep, sample_key,
+                                           cfg.batch_size)
+                self.state, last = step_fn(self.state, batch)
         last = {k: float(v) for k, v in last.items()}
         self.logger.log(int(self.state.step), "train", epoch=epoch,
                         warmup=warmup, **last)
