@@ -98,8 +98,19 @@ class Trainer:
                                 jax.random.key(cfg.seed + 2),
                                 jnp.zeros((), jnp.int32))
 
-        # mesh + shardings (single-device mesh degrades gracefully)
+        # mesh + shardings (single-device mesh degrades gracefully).
+        # With >1 device: params/opt-state replicated, the sampled window
+        # batch sharded on 'data' via a sharding constraint inside the jitted
+        # step — XLA partitions the ELBO/grad computation across devices and
+        # all-reduces gradients over ICI (SURVEY §5.8).
         self.mesh = mesh_lib.make_mesh(cfg)
+        self._dp = self.mesh.devices.size > 1
+        if self._dp:
+            assert cfg.batch_size % self.mesh.devices.size == 0, (
+                f"batch_size {cfg.batch_size} must divide over "
+                f"{self.mesh.devices.size} devices")
+            self.state = mesh_lib.replicate(self.mesh, self.state)
+            self.train_ep = mesh_lib.replicate(self.mesh, self.train_ep)
         self._build_steps()
 
         self.start_epoch = 0
@@ -113,8 +124,16 @@ class Trainer:
         optimizer = self.optimizer
         actions = cfg.action_conditioned
 
+        batch_sharding = (mesh_lib.batch_sharding(self.mesh)
+                          if self._dp else None)
+
         def sample_batch(ep: data_lib.Episode, key, batch):
-            return data_lib.sample_windows(ep, cfg, key, batch)
+            out = data_lib.sample_windows(ep, cfg, key, batch)
+            if batch_sharding is not None:
+                out = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, batch_sharding), out)
+            return out
 
         def train_step(state: TrainState, batch) -> tuple:
             key, k_elbo = jax.random.split(state.key)

@@ -36,3 +36,8 @@ def cfg() -> Config:
 @pytest.fixture(scope="session")
 def key():
     return jax.random.key(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: long-running integration test")

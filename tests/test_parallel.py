@@ -79,3 +79,22 @@ class TestShardedTraining:
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
         assert jnp.isfinite(out)
+
+
+@pytest.mark.slow
+class TestDataParallelTrainer:
+    def test_trainer_uses_mesh(self, tmp_path):
+        """Trainer on the 8-device mesh: one fused epoch runs, metrics
+        finite, params stay replicated."""
+        from stove_tpu.train.trainer import Trainer
+
+        cfg = Config().debug_shrunk().with_overrides(
+            data_dir=str(tmp_path / "d"), run_dir=str(tmp_path / "r"),
+            batch_size=8, num_epochs=1, steps_per_epoch=2, eval_every=5,
+            ckpt_every=5, supair_only_epochs=0)
+        t = Trainer(cfg)
+        assert t._dp and t.mesh.devices.size == 8
+        m = t.train_epoch(0)
+        assert np.isfinite(m["loss"])
+        leaf = jax.tree_util.tree_leaves(t.state.params)[0]
+        assert leaf.sharding.spec == P()  # still replicated after update
