@@ -81,7 +81,8 @@ def generate(cfg: Config, num: int, key: jax.Array, quantize: bool = True
 
 
 def dataset_path(cfg: Config, split: str) -> str:
-    name = f"{cfg.task}_o{cfg.num_obj}_{split}.npz"
+    num = cfg.num_train if split == "train" else cfg.num_test
+    name = f"{cfg.task}_o{cfg.num_obj}_n{num}_t{cfg.seq_len}_{split}.npz"
     return os.path.join(cfg.data_dir, name)
 
 
