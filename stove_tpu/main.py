@@ -115,7 +115,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         key = jax.random.key(cfg.seed)
         inf = model.infer(params, frames, ep.actions[:1, :t_cond], key)
         states, _ = model.rollout(
-            params, inf.z[:, -1],
+            params, inf.z_mean[:, -1],
             ep.actions[:1, t_cond - 1:t_cond - 1 + t_pred], key,
             horizon=t_pred, sample=False)
         true = data_lib.normalize_frames(

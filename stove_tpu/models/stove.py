@@ -95,6 +95,7 @@ def align_slots(ref_pos: jnp.ndarray, new_pos: jnp.ndarray,
 
 class InferOut(NamedTuple):
     z: jnp.ndarray            # (B, T, O, 6+cl) posterior samples
+    z_mean: jnp.ndarray       # (B, T, O, 6+cl) posterior means (eval/planning)
     pos_mean: jnp.ndarray     # (B, T, O, 2) posterior position means
     kl: jnp.ndarray           # (B,) Σ_{t≥2} [log p(z_t|z_{t−1}) − log q]
     init_logq: jnp.ndarray    # (B,) log q of the t∈{0,1} SuPAIR samples
@@ -180,6 +181,7 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         log_q = jnp.sum(gaussians.log_prob(z_t, q_mean, q_std), (-2, -1))
         out = {
             "z": z_t,
+            "z_mean": q_mean,
             "pos_mean": q_mean[..., POS],
             "kl": log_p - log_q,
             "reward": dyn.reward,
@@ -191,6 +193,16 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
 
     z_all = jnp.concatenate(
         [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
+    # posterior means: t∈{0,1} use encoder means (velocity from mean diffs)
+    v1_mean = m1[..., 2:4] - sup_mean[:, 0, :, 2:4]
+    z1_mean = jnp.concatenate([m1[..., 0:2], m1[..., 2:4], v1_mean,
+                               jnp.zeros_like(lat1)], axis=-1)
+    z0_mean = jnp.concatenate([sup_mean[:, 0, :, 0:2],
+                               sup_mean[:, 0, :, 2:4], v1_mean,
+                               jnp.zeros_like(lat1)], axis=-1)
+    z_mean_all = jnp.concatenate(
+        [z0_mean[:, None], z1_mean[:, None],
+         jnp.moveaxis(scanned["z_mean"], 0, 1)], axis=1)
     pos_mean = jnp.concatenate(
         [sup_mean[:, 0:1, :, 2:4], m1[:, None, :, 2:4],
          jnp.moveaxis(scanned["pos_mean"], 0, 1)], axis=1)
@@ -198,7 +210,8 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         [jnp.zeros((B, 2), frames.dtype),
          jnp.moveaxis(scanned["reward"], 0, 1)], axis=1)
     kl = jnp.sum(scanned["kl"], axis=0)                        # (B,)
-    return InferOut(z_all, pos_mean, kl, init_logq, init_logp, rewards)
+    return InferOut(z_all, z_mean_all, pos_mean, kl, init_logq, init_logp,
+                    rewards)
 
 
 class ElboOut(NamedTuple):

@@ -64,7 +64,7 @@ def run_episode_model(cfg: Config, model: StoveModel, params,
         window = jnp.asarray(np.stack(frames[-W:]))[None]
         inf = model.infer(params, normalize_frames(window),
                           jnp.asarray(actions[-W:])[None], k_inf)
-        z = inf.z[0, -1]
+        z = inf.z_mean[0, -1]
         action, _counts = planner.run(z, k_plan)
         env_state, reward = env.step(env_state, jnp.int32(action))
         total += float(reward)

@@ -40,7 +40,7 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
     actions = ep.actions[:B]
 
     inf = model.infer(params, frames, actions[:, :t_cond], key)
-    z_last = inf.z[:, -1]
+    z_last = inf.z_mean[:, -1]  # mean state: less handoff noise than a sample
     roll_actions = actions[:, t_cond - 1: t_cond - 1 + t_pred]
     states, rewards = model.rollout(params, z_last, roll_actions, key,
                                     horizon=t_pred, sample=False)

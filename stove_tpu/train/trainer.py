@@ -104,11 +104,15 @@ class Trainer:
         # step — XLA partitions the ELBO/grad computation across devices and
         # all-reduces gradients over ICI (SURVEY §5.8).
         self.mesh = mesh_lib.make_mesh(cfg)
+        if cfg.batch_size % self.mesh.devices.size != 0:
+            # shrink to the largest device count that divides the batch
+            n = self.mesh.devices.size
+            while cfg.batch_size % n != 0:
+                n -= 1
+            self.mesh = mesh_lib.make_mesh(
+                devices=list(self.mesh.devices.flat)[:n])
         self._dp = self.mesh.devices.size > 1
         if self._dp:
-            assert cfg.batch_size % self.mesh.devices.size == 0, (
-                f"batch_size {cfg.batch_size} must divide over "
-                f"{self.mesh.devices.size} devices")
             self.state = mesh_lib.replicate(self.mesh, self.state)
             self.train_ep = mesh_lib.replicate(self.mesh, self.train_ep)
         self._build_steps()
@@ -265,7 +269,7 @@ class Trainer:
         inf = self.model.infer(self.state.params, frames,
                                actions[:, :t_cond], key)
         states, _ = self.model.rollout(
-            self.state.params, inf.z[:, -1],
+            self.state.params, inf.z_mean[:, -1],
             actions[:, t_cond - 1:t_cond - 1 + t_pred], key,
             horizon=t_pred, sample=False)
         true = data_lib.normalize_frames(
