@@ -89,6 +89,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         test_ep = data_lib.ensure_dataset(cfg, "test")
         m = eval_lib.rollout_metrics(model, loaded["params"], test_ep,
                                      jax.random.key(cfg.seed))
+        m.update({f"longhorizon_{k}": v for k, v in
+                  eval_lib.longhorizon_metrics(
+                      model, loaded["params"], test_ep,
+                      jax.random.key(cfg.seed + 1)).items()})
         for k, v in m.items():
             print(f"{k}: {np.asarray(v)}")
         return 0

@@ -69,3 +69,39 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
         true_r = ep.rewards[:B, t_cond - 1: t_cond - 1 + t_pred]
         out["reward_mae"] = jnp.mean(jnp.abs(rewards - true_r))
     return out
+
+
+def longhorizon_metrics(model: StoveModel, params, ep: Episode,
+                        key: jax.Array, t_cond: Optional[int] = None,
+                        t_pred: int = 50, batch: int = 32
+                        ) -> Dict[str, jnp.ndarray]:
+    """Long-horizon rollout stability (BASELINE.md row 3: gravity rollouts
+    must stay physically plausible far beyond 8 steps).
+
+    Reports the fraction of predicted positions that stay inside the frame,
+    and the ratio of predicted to true mean per-step displacement (≈1 means
+    speeds neither explode nor collapse over the horizon).
+    """
+    cfg = model.cfg
+    t_cond = t_cond or cfg.window
+    B = min(batch, ep.frames.shape[0])
+    t_pred = min(t_pred, ep.frames.shape[1] - t_cond)
+    frames = normalize_frames(ep.frames[:B, :t_cond])
+    inf = model.infer(params, frames, ep.actions[:B, :t_cond], key)
+    states, _ = model.rollout(
+        params, inf.z_mean[:, -1],
+        ep.actions[:B, t_cond - 1:t_cond - 1 + t_pred], key,
+        horizon=t_pred, sample=False)
+    pred = _model_pos_to_01(states[..., POS])                  # (B, T, O, 2)
+    margin = cfg.ball_radius / cfg.arena_size
+    in_frame = jnp.mean(
+        ((pred >= -margin) & (pred <= 1.0 + margin)).astype(jnp.float32))
+    pred_disp = jnp.mean(jnp.linalg.norm(
+        jnp.diff(pred, axis=1), axis=-1))
+    true = ep.states[:B, t_cond:t_cond + t_pred, :, :2] / cfg.arena_size
+    true_disp = jnp.mean(jnp.linalg.norm(jnp.diff(true, axis=1), axis=-1))
+    return {
+        "horizon": jnp.asarray(t_pred),
+        "frac_in_frame": in_frame,
+        "speed_ratio": pred_disp / (true_disp + 1e-8),
+    }

@@ -259,7 +259,8 @@ class Trainer:
         return flat
 
     def _dump_gif(self, epoch: int, key) -> None:
-        """true | predicted gif for one test sequence (reference gif dumps)."""
+        """true | reconstruction→prediction gif for one test sequence
+        (reference gif dumps: true vs reconstructed vs predicted)."""
         from stove_tpu.train import visualize as viz
 
         cfg = self.cfg
@@ -272,11 +273,16 @@ class Trainer:
             self.state.params, inf.z_mean[:, -1],
             actions[:, t_cond - 1:t_cond - 1 + t_pred], key,
             horizon=t_pred, sample=False)
+        # model panel: reconstruction (inferred) for t < t_cond, then the
+        # predicted rollout; true panel: the real frames over the same span
+        model_pos = np.concatenate([
+            np.asarray(inf.pos_mean[0]),          # (t_cond, O, 2)
+            np.asarray(states[0, :, :, 2:4]),     # (t_pred, O, 2)
+        ], axis=0)
         true = data_lib.normalize_frames(
-            self.test_ep.frames[0, t_cond:t_cond + t_pred])
+            self.test_ep.frames[0, :t_cond + t_pred])
         viz.dump_rollout_gif(cfg, self.run_dir, f"ep{epoch:04d}",
-                             np.asarray(true),
-                             np.asarray(states[0, :, :, 2:4]))
+                             np.asarray(true), model_pos)
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
