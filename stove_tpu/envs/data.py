@@ -69,15 +69,32 @@ def _rollout_one(cfg: Config, key: jax.Array) -> Episode:
     )
 
 
-def generate(cfg: Config, num: int, key: jax.Array, quantize: bool = True
-             ) -> Episode:
-    """Generate `num` sequences fully on device: vmap over sequences."""
-    keys = jax.random.split(key, num)
-    ep = jax.jit(jax.vmap(lambda k: _rollout_one(cfg, k)))(keys)
-    if quantize:
-        frames = jnp.round(ep.frames * 255.0).astype(jnp.uint8)
-        ep = ep._replace(frames=frames)
-    return ep
+def generate(cfg: Config, num: int, key: jax.Array, quantize: bool = True,
+             chunk: int = 256) -> Episode:
+    """Generate `num` sequences fully on device: vmap over sequences.
+
+    Generation runs in chunks of ≤`chunk` sequences (one jitted vmap(scan)
+    program per chunk, same executable reused) — bounded program/memory size
+    regardless of corpus scale, then concatenated on host.
+    """
+    gen = jax.jit(jax.vmap(lambda k: _rollout_one(cfg, k)))
+    parts = []
+    remaining, i = num, 0
+    while remaining > 0:
+        n = min(chunk, remaining)
+        keys = jax.random.split(jax.random.fold_in(key, i), n)
+        ep = gen(keys)
+        if quantize:
+            ep = ep._replace(
+                frames=jnp.round(ep.frames * 255.0).astype(jnp.uint8))
+        parts.append(jax.tree_util.tree_map(np.asarray, ep))
+        remaining -= n
+        i += 1
+    if len(parts) == 1:
+        return jax.tree_util.tree_map(jnp.asarray, parts[0])
+    out = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.concatenate(xs, axis=0)), *parts)
+    return out
 
 
 def dataset_path(cfg: Config, split: str) -> str:
