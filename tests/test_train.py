@@ -86,3 +86,17 @@ class TestTrainerIntegration:
         assert t2.start_epoch == 2
         r2 = t2.train()
         assert np.isfinite(r2["loss"])
+
+
+class TestDeterminism:
+    def test_same_seed_same_loss(self, tmp_path):
+        """Full training determinism: same seed → identical metrics."""
+        from stove_tpu.train.trainer import Trainer
+
+        cfg = Config().debug_shrunk().with_overrides(
+            data_dir=str(tmp_path / "d"), run_dir=str(tmp_path / "r"),
+            num_epochs=1, steps_per_epoch=2, eval_every=5, ckpt_every=5,
+            supair_only_epochs=0, nolog=True)
+        m1 = Trainer(cfg).train_epoch(0)
+        m2 = Trainer(cfg).train_epoch(0)
+        assert m1["loss"] == m2["loss"]
