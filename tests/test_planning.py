@@ -23,8 +23,8 @@ class TestMCTS:
         cfg = _cfg()
         sim = TrueSimulator(cfg)
         planner = MCTS(sim, cfg)
-        state = __import__("stove_tpu.envs.physics", fromlist=["x"]
-                           ).init_state(cfg, jax.random.key(0))
+        from stove_tpu.envs import physics
+        state = physics.init_state(cfg, jax.random.key(0))
         action, counts = planner.run(state, jax.random.key(1))
         assert 0 <= action < cfg.num_actions
         assert counts.sum() >= cfg.mcts_simulations
