@@ -1,0 +1,67 @@
+"""Aux subsystems: visualization, metrics logging, config round-trips."""
+
+import json
+import os
+
+import numpy as np
+
+from stove_tpu.config import Config, PRESETS, make_config
+from stove_tpu.train.metrics import MetricsLogger
+from stove_tpu.train import visualize as viz
+
+
+class TestVisualize:
+    def test_gif_roundtrip(self, tmp_path):
+        frames = np.random.rand(5, 32, 32).astype(np.float32)
+        boxes = np.tile(np.array([0.3, 0.3, 0.0, 0.0], np.float32),
+                        (5, 2, 1))
+        p = viz.frames_to_gif(str(tmp_path / "a.gif"), frames, boxes)
+        assert os.path.getsize(p) > 500
+
+    def test_side_by_side(self, tmp_path):
+        a = np.random.rand(4, 32, 32).astype(np.float32)
+        b = np.random.rand(4, 32, 32).astype(np.float32)
+        p = viz.side_by_side_gif(str(tmp_path / "s.gif"), [a, b])
+        assert os.path.exists(p)
+
+    def test_frame_grid(self, tmp_path):
+        frames = np.random.rand(10, 32, 32).astype(np.float32)
+        p = viz.frame_grid(str(tmp_path / "g.png"), frames)
+        from PIL import Image
+        img = Image.open(p)
+        assert img.size[0] > 32
+
+    def test_render_states(self):
+        cfg = Config()
+        pos = np.zeros((3, 2, 2), np.float32)  # model coords, center
+        frames = viz.render_states(cfg, pos, np.array([1.2, 1.2]))
+        assert frames.shape == (3, 32, 32)
+        assert frames.max() > 0.5
+
+
+class TestMetrics:
+    def test_jsonl_lines(self, tmp_path):
+        lg = MetricsLogger(str(tmp_path), echo=False)
+        lg.log(1, "train", loss=1.5, note="a")
+        lg.log(2, "eval", mse=[0.1, 0.2])
+        lines = open(tmp_path / "metrics.jsonl").read().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert rec["step"] == 1 and rec["loss"] == 1.5
+        assert json.loads(lines[1])["mse"] == [0.1, 0.2]
+
+    def test_nolog(self):
+        lg = MetricsLogger(None, echo=False)
+        lg.log(0, "train", x=1)  # must not raise
+
+
+class TestPresets:
+    def test_all_presets_build(self):
+        for name in PRESETS:
+            cfg = make_config(name)
+            assert cfg.preset == name
+            assert cfg.num_obj >= 2
+
+    def test_preset_with_overrides(self):
+        cfg = make_config("stove_gravity", "num_obj=5")
+        assert cfg.task == "gravity" and cfg.num_obj == 5
