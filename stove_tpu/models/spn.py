@@ -124,7 +124,10 @@ def spn_log_prob(spec: SpnSpec, params: Dict[str, jnp.ndarray],
     if weight is not None:
         ll = ll * weight[:, None, :, None]
     scope = jnp.asarray(spec.scopes)                          # (R, L, V)
-    acts = jnp.einsum("brvi,rlv->brli", ll, scope)            # (B, R, L, I)
+    # HIGHEST: log-densities accumulate to O(100s); default TPU bf16 matmul
+    # passes would cost ~0.5 nats of error per patch
+    acts = jnp.einsum("brvi,rlv->brli", ll, scope,
+                      precision=jax.lax.Precision.HIGHEST)    # (B, R, L, I)
 
     for d in range(D - 1, -1, -1):
         left = acts[:, :, 0::2, :, None]                      # (B,R,P,c,1)
@@ -135,7 +138,8 @@ def spn_log_prob(spec: SpnSpec, params: Dict[str, jnp.ndarray],
         m = jax.lax.stop_gradient(jnp.max(prod, axis=-1, keepdims=True))
         # exp-normalize then mix in probability space: one MXU matmul
         mixed = jnp.einsum("brpc,rpsc->brps", jnp.exp(prod - m),
-                           jnp.exp(logw))
+                           jnp.exp(logw),
+                           precision=jax.lax.Precision.HIGHEST)
         acts = jnp.log(jnp.maximum(mixed, 1e-38)) + m         # (B,R,P,S)
 
     top = acts.reshape(acts.shape[0], R * S)                  # depth-0 sums

@@ -319,4 +319,8 @@ class Trainer:
             loaded["params"], loaded["opt_state"],
             jax.random.wrap_key_data(loaded["key"]),
             jnp.asarray(step, jnp.int32))
+        if self._dp:
+            # restored arrays land on one device; restore the replicated
+            # placement or training would silently drop to a single device
+            self.state = mesh_lib.replicate(self.mesh, self.state)
         self.start_epoch = int(loaded["epoch"]) + 1

@@ -98,3 +98,18 @@ class TestDataParallelTrainer:
         assert np.isfinite(m["loss"])
         leaf = jax.tree_util.tree_leaves(t.state.params)[0]
         assert leaf.sharding.spec == P()  # still replicated after update
+
+    def test_restore_preserves_replication(self, tmp_path):
+        """Resume under DP must re-replicate the restored state."""
+        from stove_tpu.train.trainer import Trainer
+
+        cfg = Config().debug_shrunk().with_overrides(
+            data_dir=str(tmp_path / "d"), run_dir=str(tmp_path / "r"),
+            batch_size=8, num_epochs=1, steps_per_epoch=1, eval_every=9,
+            ckpt_every=1, supair_only_epochs=0)
+        t = Trainer(cfg)
+        t.train()
+        t2 = Trainer(cfg.with_overrides(restore=t.run_dir, num_epochs=2))
+        leaf = jax.tree_util.tree_leaves(t2.state.params)[0]
+        assert leaf.sharding.spec == P()
+        assert len(leaf.sharding.device_set) == t2.mesh.devices.size
