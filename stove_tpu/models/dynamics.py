@@ -78,7 +78,8 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     # flow (Δv = Δℓ = 0, mid-range σ), which stabilizes early training
     params["out"][-1]["w"] = jnp.zeros_like(params["out"][-1]["w"])
     if cfg.reward_head:
-        params["reward"] = _mlp_init(k[5], [h] + hid + [1])
+        # +2: min/mean pairwise-distance features of predicted positions
+        params["reward"] = _mlp_init(k[5], [h + 2] + hid + [1])
     return params
 
 
@@ -130,8 +131,18 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
 
     if cfg.reward_head and "reward" in params:
         pooled = jnp.mean(r, axis=1)                          # (B, h)
-        reward = jax.nn.sigmoid(_mlp(params["reward"], pooled,
-                                     dtype=cd))[..., 0]
+        # collision geometry of the *predicted* next positions: the avoidance
+        # reward is a function of post-transition contact, so feed the head
+        # the pairwise-distance summary directly (permutation invariant)
+        ppos = mean[..., POS]
+        pdiff = ppos[:, :, None, :] - ppos[:, None, :, :]
+        pdist = jnp.sqrt(jnp.sum(pdiff**2, -1) + 1e-8)
+        pdist = pdist + 10.0 * jnp.eye(O, dtype=z.dtype)[None]
+        mind = jnp.min(pdist, axis=-1)                        # (B, O)
+        geom = jnp.stack([jnp.min(mind, -1), jnp.mean(mind, -1)], -1)
+        reward = jax.nn.sigmoid(_mlp(
+            params["reward"], jnp.concatenate([pooled, geom], -1),
+            dtype=cd))[..., 0]
     else:
         reward = jnp.zeros((B,), z.dtype)
     return DynOut(mean, std, reward)
