@@ -65,3 +65,21 @@ class TestPresets:
     def test_preset_with_overrides(self):
         cfg = make_config("stove_gravity", "num_obj=5")
         assert cfg.task == "gravity" and cfg.num_obj == 5
+
+
+class TestVizMode:
+    def test_cli_viz_from_checkpoint(self, tmp_path):
+        """mode=viz end-to-end: train 1 tiny epoch, render gif + grid."""
+        from stove_tpu.main import main
+
+        common = [
+            "debug=true", "num_train=4", "num_test=3", "seq_len=18",
+            "batch_size=2", "num_epochs=1", "steps_per_epoch=1",
+            "supair_only_epochs=0", "eval_every=9", "ckpt_every=1",
+            f"data_dir={tmp_path}/d", f"run_dir={tmp_path}/r",
+            "run_name=vz",
+        ]
+        assert main(common) == 0
+        assert main([f"restore={tmp_path}/r/vz", "mode=viz"]) == 0
+        assert os.path.exists(f"{tmp_path}/r/vz/rollout_viz.gif")
+        assert os.path.exists(f"{tmp_path}/r/vz/detect_grid.png")
