@@ -233,12 +233,14 @@ class Config:
 # The five driver configs from BASELINE.json, as named presets.
 PRESETS = {
     # 1. SuPAIR-only object detection ELBO on 2-ball billiards frames
-    "supair_billiards2": dict(task="billiards", num_obj=2, run_name="supair2"),
+    "supair_billiards2": dict(task="billiards", num_obj=2, run_name="supair2",
+                              reward_head=False),
     # 2. STOVE video prediction, 3-ball billiards
-    "stove_billiards": dict(task="billiards", num_obj=3, run_name="stove_bil"),
+    "stove_billiards": dict(task="billiards", num_obj=3, run_name="stove_bil",
+                            reward_head=False),
     # 3. STOVE on gravity (long-horizon rollout stability)
     "stove_gravity": dict(task="gravity", num_obj=3, run_name="stove_grav",
-                          init_speed=0.0),
+                          init_speed=0.0, reward_head=False),
     # 4. action-conditioned STOVE on avoidance (reward head)
     "stove_avoidance": dict(task="avoidance", num_obj=3, run_name="stove_avoid",
                             action_conditioned=True, reward_head=True),
