@@ -247,6 +247,12 @@ PRESETS = {
     # 5. MCTS planning in avoidance env using jitted model rollouts
     "mcts_avoidance": dict(task="avoidance", num_obj=3, run_name="mcts_avoid",
                            action_conditioned=True, reward_head=True),
+    # denser variant: collisions frequent enough that a random policy fails
+    # visibly — the planning benchmark environment (paper-style difficulty)
+    "avoidance_dense": dict(task="avoidance", num_obj=3, run_name="avoid_dense",
+                            action_conditioned=True, reward_head=True,
+                            ball_radius=1.6, init_speed=0.8,
+                            action_speed=0.7),
 }
 
 
