@@ -152,6 +152,8 @@ class Config:
     latent_residual: bool = True           # ℓ_t = ℓ_{t-1} + Δℓ vs direct
     velocity_posterior: bool = True        # build q(v) from position diffs
     size_std: float = 0.01                 # carried-size transition std
+    overshoot_k: int = 0                   # latent overshooting horizon (0=off)
+    overshoot_weight: float = 1.0          # weight of the k-step position loss
 
     # ---- parallelism / performance ---------------------------------------
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'

@@ -220,7 +220,44 @@ class ElboOut(NamedTuple):
     log_lik: jnp.ndarray
     kl: jnp.ndarray
     reward_loss: jnp.ndarray
+    overshoot_loss: jnp.ndarray
     inferred: InferOut
+
+
+def overshoot_loss(params: Dict, cfg: Config, inf: InferOut,
+                   actions: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Latent overshooting: k-step open-loop predictions must match the
+    posterior means k steps ahead (PlaNet-style; additive over the
+    reference, gated by cfg.overshoot_k).
+
+    From every posterior sample z_t (t ≤ T−K) the dynamics rolls forward K
+    steps on its mean; predicted positions are penalized against the
+    stop-gradded posterior position means at t+k.  All (batch × start-time)
+    pairs are folded into one batch, so the cost is K dynamics calls.
+    """
+    K = cfg.overshoot_k
+    B, T = inf.z.shape[:2]
+    S = T - K  # number of start indices
+    if K <= 0 or S <= 0:
+        return jnp.zeros((), inf.z.dtype)
+    if actions is None:
+        actions = jnp.zeros((B, T), jnp.int32)
+
+    # fold (B, S) into one batch of rollout starts
+    z = inf.z[:, :S].reshape(B * S, *inf.z.shape[2:])
+    targets = jax.lax.stop_gradient(inf.pos_mean)              # (B, T, O, 2)
+
+    total = jnp.zeros((), inf.z.dtype)
+    for k in range(1, K + 1):                                  # unrolled, K≤4
+        # action taken at step t+k−1 drives transition into t+k
+        act_k = jax.lax.dynamic_slice_in_dim(actions, k - 1, S, axis=1)
+        dyn = dyn_lib.apply(params["dynamics"], cfg, z,
+                            act_k.reshape(B * S))
+        z = dyn.mean
+        pred_pos = z[..., POS].reshape(B, S, cfg.num_obj, 2)
+        tgt = jax.lax.dynamic_slice_in_dim(targets, k, S, axis=1)
+        total = total + jnp.mean(jnp.sum((pred_pos - tgt) ** 2, -1))
+    return total / K
 
 
 def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
@@ -262,9 +299,14 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     else:
         reward_loss = jnp.zeros((), frames.dtype)
 
-    loss = -elbo_mean + reward_loss
+    if cfg.overshoot_k > 0:
+        ov = overshoot_loss(params, cfg, inf, actions)
+    else:
+        ov = jnp.zeros((), frames.dtype)
+
+    loss = -elbo_mean + reward_loss + cfg.overshoot_weight * ov
     return ElboOut(loss, elbo_mean, jnp.mean(log_lik) / T,
-                   jnp.mean(inf.kl) / T, reward_loss, inf)
+                   jnp.mean(inf.kl) / T, reward_loss, ov, inf)
 
 
 # --------------------------------------------------------------------------

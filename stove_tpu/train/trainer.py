@@ -156,6 +156,7 @@ class Trainer:
             metrics = {
                 "loss": out.loss, "elbo": out.elbo, "log_lik": out.log_lik,
                 "kl": out.kl, "reward_loss": out.reward_loss,
+                "overshoot": out.overshoot_loss,
                 "grad_norm": optax.global_norm(grads),
             }
             return TrainState(params, opt_state, key, state.step + 1), metrics

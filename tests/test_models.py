@@ -198,3 +198,25 @@ class TestPrecision:
             p, b16, specs, frames, None, None, jax.random.key(3)).loss)(params)
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestOvershoot:
+    def test_overshoot_loss_zero_when_off(self, cfgm, setup):
+        specs, params = setup
+        frames = jax.random.uniform(jax.random.key(11), (2, cfgm.window, 32, 32))
+        out = stove_lib.elbo(params, cfgm, specs, frames, None, None,
+                             jax.random.key(12))
+        assert float(out.overshoot_loss) == 0.0
+
+    def test_overshoot_positive_and_differentiable(self, cfgm):
+        cfg = cfgm.with_overrides(overshoot_k=3)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        frames = jax.random.uniform(jax.random.key(2), (2, cfg.window, 32, 32))
+        out = stove_lib.elbo(params, cfg, specs, frames, None, None,
+                             jax.random.key(3))
+        assert float(out.overshoot_loss) > 0.0
+        g = jax.grad(lambda p: stove_lib.elbo(
+            p, cfg, specs, frames, None, None, jax.random.key(3)).loss)(params)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(g))
