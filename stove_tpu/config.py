@@ -239,13 +239,16 @@ PRESETS = {
                               reward_head=False),
     # 2. STOVE video prediction, 3-ball billiards
     "stove_billiards": dict(task="billiards", num_obj=3, run_name="stove_bil",
-                            reward_head=False),
+                            reward_head=False, overshoot_k=4,
+                            overshoot_weight=100.0),
     # 3. STOVE on gravity (long-horizon rollout stability)
     "stove_gravity": dict(task="gravity", num_obj=3, run_name="stove_grav",
-                          init_speed=0.0, reward_head=False),
+                          init_speed=0.0, reward_head=False, overshoot_k=4,
+                          overshoot_weight=100.0),
     # 4. action-conditioned STOVE on avoidance (reward head)
     "stove_avoidance": dict(task="avoidance", num_obj=3, run_name="stove_avoid",
-                            action_conditioned=True, reward_head=True),
+                            action_conditioned=True, reward_head=True,
+                            overshoot_k=4, overshoot_weight=100.0),
     # 5. MCTS planning in avoidance env using jitted model rollouts
     "mcts_avoidance": dict(task="avoidance", num_obj=3, run_name="mcts_avoid",
                            action_conditioned=True, reward_head=True),
@@ -254,7 +257,8 @@ PRESETS = {
     "avoidance_dense": dict(task="avoidance", num_obj=3, run_name="avoid_dense",
                             action_conditioned=True, reward_head=True,
                             ball_radius=1.6, init_speed=0.8,
-                            action_speed=0.7),
+                            action_speed=0.7, overshoot_k=4,
+                            overshoot_weight=100.0),
 }
 
 
