@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 CPU_EAGER_BASELINE_FPS = 1094.7  # see module docstring
-BATCH = 4096
+BATCH = 16384  # measured best-scaling batch (BASELINE.md)
 HORIZON = 92
 
 
