@@ -48,11 +48,14 @@ class PhysicsEnv:
         return self.render()
 
     def step(self, action: int = 0) -> Tuple[np.ndarray, np.ndarray, float]:
-        """Returns (frame, state_vector (O, 4), reward) — reference layout."""
-        prev = self.state
+        """Returns (frame, state_vector (O, 4), reward) — reference layout.
+
+        The frame and state vector describe the SAME post-step instant
+        (frames[t] renders states[t], like the dataset layout)."""
         self.state, reward = self._step(self.state,
                                         jnp.int32(action))
-        sv = np.concatenate([np.asarray(prev.pos), np.asarray(prev.vel)], -1)
+        sv = np.concatenate([np.asarray(self.state.pos),
+                             np.asarray(self.state.vel)], -1)
         return self.render(), sv, float(reward)
 
     def render(self) -> np.ndarray:

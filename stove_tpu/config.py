@@ -148,12 +148,20 @@ class Config:
     reward_balanced_loss: bool = True      # inverse-frequency class weights
     min_dyn_std: float = 0.01
     max_dyn_std: float = 0.3
-    transition_lik_std: float = 0.01       # p(z_t|z_{t-1}) extra floor
     latent_residual: bool = True           # ℓ_t = ℓ_{t-1} + Δℓ vs direct
     velocity_posterior: bool = True        # build q(v) from position diffs
+    velocity_obs_full_std: bool = True     # q(v) obs std: propagate both
+    #   frames' encoder position stds (sqrt(ss_t² + ss_{t−1}²)); False keeps
+    #   the t-frame std only (round-1 behavior; A/B'd in RESULTS.md)
     size_std: float = 0.01                 # carried-size transition std
     overshoot_k: int = 0                   # latent overshooting horizon (0=off)
     overshoot_weight: float = 1.0          # weight of the k-step position loss
+    overshoot_sample: bool = False         # roll the overshoot open loop on
+    #   sampled transitions (σ stop-gradded): noise-robustness training for
+    #   long sampled rollouts (gravity energy faithfulness)
+    reward_overshoot_weight: float = 1.0   # weight of open-loop reward BCE
+    #   (active when overshoot_k > 0 and the reward head is on; trains the
+    #   reward head on the same open-loop distribution MCTS consumes)
 
     # ---- parallelism / performance ---------------------------------------
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'
@@ -170,8 +178,8 @@ class Config:
     mcts_discount: float = 0.95
     mcts_episodes: int = 10
     mcts_episode_len: int = 100
-    mcts_batch_rollouts: bool = True       # batch frontier evals per device call
     mcts_frontier: int = 4                 # leaves expanded per device call
+    #   (1 = serial UCT like the reference; >1 batches K·A evals per call)
     mcts_virtual_loss: float = 1.0         # selection diversification weight
 
     # ------------------------------------------------------------------ api

@@ -93,6 +93,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                   eval_lib.longhorizon_metrics(
                       model, loaded["params"], test_ep,
                       jax.random.key(cfg.seed + 1)).items()})
+        m.update({f"longhorizon_sampled_{k}": v for k, v in
+                  eval_lib.longhorizon_metrics(
+                      model, loaded["params"], test_ep,
+                      jax.random.key(cfg.seed + 2), sample=True).items()})
+        m.update(eval_lib.baseline_metrics(cfg, test_ep))
         for k, v in m.items():
             print(f"{k}: {np.asarray(v)}")
         return 0
@@ -116,17 +121,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         ep = data_lib.ensure_dataset(cfg, "test")
         t_cond, t_pred = cfg.window, cfg.eval_rollout_steps
         frames = data_lib.normalize_frames(ep.frames[:1, :t_cond])
-        key = jax.random.key(cfg.seed)
-        inf = model.infer(params, frames, ep.actions[:1, :t_cond], key)
+        k_inf, k_roll = jax.random.split(jax.random.key(cfg.seed))
+        inf = model.infer(params, frames, ep.actions[:1, :t_cond], k_inf)
         states, _ = model.rollout(
             params, inf.z_mean[:, -1],
-            ep.actions[:1, t_cond - 1:t_cond - 1 + t_pred], key,
+            ep.actions[:1, t_cond - 1:t_cond - 1 + t_pred], k_roll,
             horizon=t_pred, sample=False)
         true = data_lib.normalize_frames(
             ep.frames[0, t_cond:t_cond + t_pred])
         gif = viz.dump_rollout_gif(cfg, cfg.restore, "viz",
                                    _np.asarray(true),
-                                   _np.asarray(states[0, :, :, POS]))
+                                   _np.asarray(states[0, :, :, POS]),
+                                   pred_sizes=_np.asarray(
+                                       states[0, :, :, SIZE]))
         boxes = _np.concatenate([_np.asarray(inf.z[0, :, :, SIZE]),
                                  _np.asarray(inf.z[0, :, :, POS])], -1)
         grid = viz.frame_grid(

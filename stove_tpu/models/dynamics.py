@@ -78,8 +78,15 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     # flow (Δv = Δℓ = 0, mid-range σ), which stabilizes early training
     params["out"][-1]["w"] = jnp.zeros_like(params["out"][-1]["w"])
     if cfg.reward_head:
-        # +2: min/mean pairwise-distance features of predicted positions
-        params["reward"] = _mlp_init(k[5], [h + 2] + hid + [1])
+        # per-object reward attribution: each object gets a score from its
+        # (self, relational, contact-gap) features; a learned attention
+        # pools the scores so the head can single out the agent ball (the
+        # avoidance reward depends only on the controlled ball's contact,
+        # and slots are permutation-arbitrary)
+        kr, ka = jax.random.split(k[5])
+        d_rf = 2 * h + 2
+        params["reward"] = _mlp_init(kr, [d_rf] + hid + [1])
+        params["reward_att"] = _mlp_init(ka, [d_rf] + hid + [1])
     return params
 
 
@@ -130,19 +137,28 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
     ], axis=-1)
 
     if cfg.reward_head and "reward" in params:
-        pooled = jnp.mean(r, axis=1)                          # (B, h)
-        # collision geometry of the *predicted* next positions: the avoidance
-        # reward is a function of post-transition contact, so feed the head
-        # the pairwise-distance summary directly (permutation invariant)
+        # collision geometry of the *predicted* next state: contact happens
+        # when |p_o − p_j| < r_o + r_j, and in model units the inferred box
+        # scale IS the ball radius (scale s covers fraction s of the 2-wide
+        # image → radius s).  Feed each object its signed contact gap
+        # min_j(dist − (s_o + s_j)) and raw min distance, then let a learned
+        # attention pool per-object scores — the reward depends only on the
+        # agent ball's contact, and attention can find the agent from its
+        # action-correlated embedding (slots are permutation-arbitrary).
         ppos = mean[..., POS]
+        psize = jnp.mean(mean[..., SIZE], axis=-1)            # (B, O) radius
         pdiff = ppos[:, :, None, :] - ppos[:, None, :, :]
-        pdist = jnp.sqrt(jnp.sum(pdiff**2, -1) + 1e-8)
-        pdist = pdist + 10.0 * jnp.eye(O, dtype=z.dtype)[None]
-        mind = jnp.min(pdist, axis=-1)                        # (B, O)
-        geom = jnp.stack([jnp.min(mind, -1), jnp.mean(mind, -1)], -1)
-        reward = jax.nn.sigmoid(_mlp(
-            params["reward"], jnp.concatenate([pooled, geom], -1),
-            dtype=cd))[..., 0]
+        pdist = jnp.sqrt(jnp.sum(pdiff**2, -1) + 1e-8)        # (B, O, O)
+        gap = pdist - (psize[:, :, None] + psize[:, None, :])
+        big = 10.0 * jnp.eye(O, dtype=z.dtype)[None]
+        min_gap = jnp.min(gap + big, axis=-1)                 # (B, O)
+        min_dist = jnp.min(pdist + big, axis=-1)              # (B, O)
+        feat = jnp.concatenate(
+            [s, r, min_gap[..., None], min_dist[..., None]], -1)
+        score = _mlp(params["reward"], feat, dtype=cd)[..., 0]     # (B, O)
+        att = jax.nn.softmax(
+            _mlp(params["reward_att"], feat, dtype=cd)[..., 0], axis=-1)
+        reward = jax.nn.sigmoid(jnp.sum(att * score, axis=-1))    # (B,)
     else:
         reward = jnp.zeros((B,), z.dtype)
     return DynOut(mean, std, reward)

@@ -62,26 +62,60 @@ def init_params(key: jax.Array, cfg: Config, specs: StoveSpecs) -> Dict:
 # slot alignment (exact min-cost permutation, statically enumerated)
 # --------------------------------------------------------------------------
 
-def align_slots(ref_pos: jnp.ndarray, new_pos: jnp.ndarray,
-                *arrays: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """Permute the O-slots of `arrays` so new_pos best matches ref_pos.
+def _exact_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost assignment by enumerating all O! permutations.
 
-    ref_pos, new_pos: (B, O, 2).  Exact assignment by enumerating all O!
-    permutations (static; fine for O ≤ 5, the reference's regime).  The
-    argmin is discrete (no gradient); values keep their gradients.
+    cost (B, O, O): cost[b, i, j] of matching ref slot i to new slot j.
+    Returns sel (B, O) with sel[b, i] = chosen j.  Exact; O ≤ 4 keeps the
+    enumeration ≤ 24 rows (trace-time static).
     """
-    B, O, _ = ref_pos.shape
+    B, O, _ = cost.shape
     perms = jnp.asarray(list(itertools.permutations(range(O))))   # (P!, O)
-    cost = jnp.sum(
-        (ref_pos[:, :, None, :] - new_pos[:, None, :, :]) ** 2, -1)  # (B,O,O)
     # total cost of each permutation: sum_o cost[b, o, perm[o]]
     percost = jnp.sum(
         jnp.take_along_axis(
             cost[:, None, :, :].repeat(perms.shape[0], 1),
             perms[None, :, :, None], axis=3)[..., 0],
         axis=-1)                                                   # (B, P!)
-    best = jnp.argmin(percost, axis=-1)                            # (B,)
-    sel = perms[best]                                              # (B, O)
+    return perms[jnp.argmin(percost, axis=-1)]                     # (B, O)
+
+
+def _greedy_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Greedy (auction-style) assignment: repeatedly take the globally
+    cheapest unmatched (ref, new) pair.
+
+    O(O) unrolled rounds of a (B, O·O) argmin — scales to large O where O!
+    enumeration explodes (720 perms at O=6).  Near-exact in practice here:
+    slots move ≤ one ball-radius per frame, so the cost matrix is strongly
+    diagonal-dominant after the first frames.
+    """
+    B, O, _ = cost.shape
+    BIG = jnp.asarray(1e9, cost.dtype)
+    sel = jnp.zeros((B, O), jnp.int32)
+    c = cost
+    for _ in range(O):                                            # static
+        idx = jnp.argmin(c.reshape(B, O * O), axis=-1)            # (B,)
+        i, j = idx // O, idx % O
+        hit_i = jax.nn.one_hot(i, O, dtype=bool)                  # (B, O)
+        hit_j = jax.nn.one_hot(j, O, dtype=bool)
+        sel = jnp.where(hit_i, j[:, None], sel)
+        c = jnp.where(hit_i[:, :, None] | hit_j[:, None, :], BIG, c)
+    return sel
+
+
+def align_slots(ref_pos: jnp.ndarray, new_pos: jnp.ndarray,
+                *arrays: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Permute the O-slots of `arrays` so new_pos best matches ref_pos.
+
+    ref_pos, new_pos: (B, O, 2).  Exact enumerated assignment for O ≤ 4,
+    greedy assignment above (O! blows up; greedy is near-exact for
+    frame-to-frame tracking).  The argmin is discrete (no gradient); values
+    keep their gradients.
+    """
+    B, O, _ = ref_pos.shape
+    cost = jnp.sum(
+        (ref_pos[:, :, None, :] - new_pos[:, None, :, :]) ** 2, -1)  # (B,O,O)
+    sel = _exact_assignment(cost) if O <= 4 else _greedy_assignment(cost)
     out = tuple(
         jnp.take_along_axis(a, sel.reshape(B, O, *([1] * (a.ndim - 2))),
                             axis=1)
@@ -152,7 +186,7 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     }
 
     def step(carry, x):
-        z_prev = carry
+        z_prev, prev_sup_m, prev_sup_s = carry
         dyn = dyn_lib.apply(params["dynamics"], cfg, z_prev, x["action"])
         d_mean, d_std = dyn.mean, dyn.std
 
@@ -163,9 +197,21 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         q_pos_m, q_pos_s = gaussians.product(
             sm[..., 2:4], ss[..., 2:4], d_mean[..., POS], d_std[..., POS])
         if cfg.velocity_posterior:
-            v_obs = sm[..., 2:4] - z_prev[..., POS]
+            if cfg.velocity_obs_full_std:
+                # image-side velocity evidence from encoder position means at
+                # t and t−1; both frames' stds propagate into the observation
+                # std (SURVEY §2.1 "velocities inferred from position
+                # differences"; fixes the understated variance flagged in
+                # round 1)
+                v_obs = sm[..., 2:4] - prev_sup_m
+                v_obs_s = jnp.sqrt(ss[..., 2:4] ** 2 + prev_sup_s ** 2)
+            else:
+                # round-1 construction: difference against the t−1 sample,
+                # t-frame encoder std only
+                v_obs = sm[..., 2:4] - z_prev[..., POS]
+                v_obs_s = ss[..., 2:4]
             q_vel_m, q_vel_s = gaussians.product(
-                v_obs, ss[..., 2:4], d_mean[..., VEL], d_std[..., VEL])
+                v_obs, v_obs_s, d_mean[..., VEL], d_std[..., VEL])
         else:
             q_vel_m, q_vel_s = d_mean[..., VEL], d_std[..., VEL]
         q_size_m, q_size_s = gaussians.product(
@@ -186,10 +232,11 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
             "kl": log_p - log_q,
             "reward": dyn.reward,
         }
-        return z_t, out
+        return (z_t, sm[..., 2:4], ss[..., 2:4]), out
 
     with jax.named_scope("stove_scan"):
-        _, scanned = jax.lax.scan(step, z1, xs)
+        _, scanned = jax.lax.scan(
+            step, (z1, m1[..., 2:4], s1[..., 2:4]), xs)
 
     z_all = jnp.concatenate(
         [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
@@ -221,11 +268,29 @@ class ElboOut(NamedTuple):
     kl: jnp.ndarray
     reward_loss: jnp.ndarray
     overshoot_loss: jnp.ndarray
+    overshoot_reward_loss: jnp.ndarray
     inferred: InferOut
 
 
-def overshoot_loss(params: Dict, cfg: Config, inf: InferOut,
-                   actions: Optional[jnp.ndarray]) -> jnp.ndarray:
+def _balanced_bce(pred: jnp.ndarray, target: jnp.ndarray,
+                  balanced: bool) -> jnp.ndarray:
+    """Binary cross-entropy; optionally inverse-frequency class-weighted
+    (collisions are rare, so an unweighted head collapses to the base rate)."""
+    eps = 1e-6
+    bce = -(target * jnp.log(pred + eps)
+            + (1 - target) * jnp.log(1 - pred + eps))
+    if balanced:
+        pos_rate = jnp.clip(jnp.mean(target), 0.05, 0.95)
+        w = jnp.where(target > 0.5, 0.5 / pos_rate, 0.5 / (1.0 - pos_rate))
+        bce = bce * w
+    return jnp.mean(bce)
+
+
+def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
+                     actions: Optional[jnp.ndarray],
+                     rewards: Optional[jnp.ndarray],
+                     key: Optional[jax.Array] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Latent overshooting: k-step open-loop predictions must match the
     posterior means k steps ahead (PlaNet-style; additive over the
     reference, gated by cfg.overshoot_k).
@@ -234,12 +299,20 @@ def overshoot_loss(params: Dict, cfg: Config, inf: InferOut,
     steps on its mean; predicted positions are penalized against the
     stop-gradded posterior position means at t+k.  All (batch × start-time)
     pairs are folded into one batch, so the cost is K dynamics calls.
+
+    When the reward head is on, the SAME open-loop rollout also supervises
+    reward prediction: r̂ at open-loop step k must match the env reward of
+    transition (t+k−1) → (t+k).  This matches the planner's usage — MCTS
+    consumes rewards along open-loop rollouts, where the head trained only
+    on one-step posterior states is out of distribution (round-1 planning
+    gap; VERDICT item 1).
     """
     K = cfg.overshoot_k
     B, T = inf.z.shape[:2]
     S = T - K  # number of start indices
+    zero = jnp.zeros((), inf.z.dtype)
     if K <= 0 or S <= 0:
-        return jnp.zeros((), inf.z.dtype)
+        return zero, zero
     if actions is None:
         actions = jnp.zeros((B, T), jnp.int32)
 
@@ -247,17 +320,38 @@ def overshoot_loss(params: Dict, cfg: Config, inf: InferOut,
     z = inf.z[:, :S].reshape(B * S, *inf.z.shape[2:])
     targets = jax.lax.stop_gradient(inf.pos_mean)              # (B, T, O, 2)
 
-    total = jnp.zeros((), inf.z.dtype)
-    for k in range(1, K + 1):                                  # unrolled, K≤4
+    supervise_reward = (cfg.action_conditioned and cfg.reward_head
+                        and rewards is not None
+                        and cfg.reward_overshoot_weight > 0)
+    total_pos, total_rew = zero, zero
+    for k in range(1, K + 1):                                  # unrolled
         # action taken at step t+k−1 drives transition into t+k
         act_k = jax.lax.dynamic_slice_in_dim(actions, k - 1, S, axis=1)
         dyn = dyn_lib.apply(params["dynamics"], cfg, z,
                             act_k.reshape(B * S))
-        z = dyn.mean
+        if cfg.overshoot_sample and key is not None:
+            # noise-robust (scheduled-sampling-style) overshooting: roll the
+            # open loop on SAMPLED transitions so the dynamics learns to
+            # stay on track under its own transition noise — the regime
+            # sampled long-horizon rollouts operate in (gravity energy
+            # faithfulness, VERDICT item 2).  stop_gradient on σ: the
+            # position loss must shape the mean dynamics, not collapse the
+            # learned noise scale (σ is trained by the ELBO/NLL terms).
+            key, k_s = jax.random.split(key)
+            z = gaussians.sample(k_s, dyn.mean,
+                                 jax.lax.stop_gradient(dyn.std))
+        else:
+            z = dyn.mean
         pred_pos = z[..., POS].reshape(B, S, cfg.num_obj, 2)
         tgt = jax.lax.dynamic_slice_in_dim(targets, k, S, axis=1)
-        total = total + jnp.mean(jnp.sum((pred_pos - tgt) ** 2, -1))
-    return total / K
+        total_pos = total_pos + jnp.mean(jnp.sum((pred_pos - tgt) ** 2, -1))
+        if supervise_reward:
+            # env reward of transition (t+k−1) → (t+k) is recorded at index
+            # t+k−1 (pre-step layout, see envs/data.py)
+            r_tgt = jax.lax.dynamic_slice_in_dim(rewards, k - 1, S, axis=1)
+            total_rew = total_rew + _balanced_bce(
+                dyn.reward.reshape(B, S), r_tgt, cfg.reward_balanced_loss)
+    return total_pos / K, total_rew / K
 
 
 def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
@@ -265,6 +359,7 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
          key: jax.Array) -> ElboOut:
     """Negative training loss for a window: −ELBO/T (+ reward loss)."""
     B, T = frames.shape[:2]
+    key, k_os = jax.random.split(key)
     inf = infer(params, cfg, specs, frames, actions, key)
 
     # ---- phase 3: likelihood of every frame at its sampled box -----------
@@ -282,31 +377,22 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
 
     if cfg.action_conditioned and rewards is not None:
         # r̂ at scan step t predicts the env reward of transition t−1 → t
-        target = rewards[:, 1:T - 1]
-        pred = inf.rewards[:, 2:]
-        eps = 1e-6
-        bce = -(target * jnp.log(pred + eps)
-                + (1 - target) * jnp.log(1 - pred + eps))
-        if cfg.reward_balanced_loss:
-            # collisions are rare (~14% of avoidance steps); weight the two
-            # classes to equal effective mass so the head doesn't collapse
-            # to the base rate
-            pos_rate = jnp.clip(jnp.mean(target), 0.05, 0.95)
-            w = jnp.where(target > 0.5, 0.5 / pos_rate,
-                          0.5 / (1.0 - pos_rate))
-            bce = bce * w
-        reward_loss = jnp.mean(bce)
+        reward_loss = _balanced_bce(inf.rewards[:, 2:], rewards[:, 1:T - 1],
+                                    cfg.reward_balanced_loss)
     else:
         reward_loss = jnp.zeros((), frames.dtype)
 
     if cfg.overshoot_k > 0:
-        ov = overshoot_loss(params, cfg, inf, actions)
+        ov, ov_rew = overshoot_losses(params, cfg, inf, actions, rewards,
+                                      k_os)
     else:
         ov = jnp.zeros((), frames.dtype)
+        ov_rew = jnp.zeros((), frames.dtype)
 
-    loss = -elbo_mean + reward_loss + cfg.overshoot_weight * ov
+    loss = (-elbo_mean + reward_loss + cfg.overshoot_weight * ov
+            + cfg.reward_overshoot_weight * ov_rew)
     return ElboOut(loss, elbo_mean, jnp.mean(log_lik) / T,
-                   jnp.mean(inf.kl) / T, reward_loss, ov, inf)
+                   jnp.mean(inf.kl) / T, reward_loss, ov, ov_rew, inf)
 
 
 # --------------------------------------------------------------------------

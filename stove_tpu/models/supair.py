@@ -36,26 +36,44 @@ class SupairSpecs(NamedTuple):
     bg: spn_lib.SpnSpec
 
 
-def _pallas_available() -> bool:
-    """Fused kernels run on real TPU backends only.
+import functools
 
-    CPU tests use the dense path (interpret-mode equivalence is covered in
-    tests/test_pallas.py).  The remote "axon" TPU tunnel used in this
-    development container executes XLA fine but hangs on Mosaic/Pallas
-    kernels (verified 2026-08-16: even a trivial elementwise pallas_call
-    never completes); it is detected via its env marker and excluded.
-    Set STOVE_FORCE_PALLAS=1 to override on real TPU hosts.
+
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    """Resolve (once, with a logged reason) whether fused Pallas kernels run.
+
+    The decision is cached and printed exactly once so the execution path is
+    never silently platform-dependent (round-1 advisor finding).  Rules:
+
+    * `STOVE_FORCE_PALLAS=1` forces the kernels on (real TPU hosts).
+    * The remote "axon" TPU tunnel used in this development container
+      executes XLA fine but hangs on Mosaic/Pallas kernels (verified
+      2026-08-16: even a trivial elementwise pallas_call never completes);
+      it is detected via its env marker and excluded.
+    * Otherwise: on for real TPU backends, off elsewhere (CPU tests use the
+      dense path; interpret-mode equivalence is covered in
+      tests/test_pallas.py).
     """
     import os
     if os.environ.get("STOVE_FORCE_PALLAS") == "1":
-        return True
-    if os.environ.get("PALLAS_AXON_POOL_IPS") or \
+        decision, reason = True, "STOVE_FORCE_PALLAS=1 override"
+    elif os.environ.get("PALLAS_AXON_POOL_IPS") or \
             os.environ.get("JAX_PLATFORMS", "") == "axon":
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+        decision, reason = False, (
+            "axon remote-TPU tunnel detected (Mosaic kernels hang over the "
+            "tunnel; dense-XLA SPN path used instead)")
+    else:
+        try:
+            is_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            is_tpu = False
+        decision = is_tpu
+        reason = ("real TPU backend" if is_tpu
+                  else f"non-TPU backend ({jax.default_backend()})")
+    print(f"[pallas] fused SPN kernels "
+          f"{'ENABLED' if decision else 'disabled'}: {reason}", flush=True)
+    return decision
 
 
 def make_specs(key: jax.Array, cfg: Config) -> SupairSpecs:

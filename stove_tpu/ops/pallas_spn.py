@@ -37,17 +37,46 @@ _LOG2PI = float(np.log(2.0 * np.pi))
 
 
 def _prepare(spec: spn_lib.SpnSpec, params: Dict[str, jnp.ndarray]):
-    """Precompute kernel-friendly parameter layouts (tiny host-free ops)."""
+    """Precompute kernel-friendly parameter layouts (tiny host-free ops).
+
+    Sum-layer weights are pre-transposed for the kernel's factorized
+    product+sum contraction (see `_make_kernel`): W (R, P, S, c²) with
+    c² = (left i, right j) becomes W2T (R, P, c, S·c) with
+    W2T[r, p, j, s·c+i] = W[r, p, s, i·c+j], so the right-child exp goes
+    through one 2-D matmul and the left-child exp through a lane-tiled
+    elementwise multiply + block-sum matmul — no >2-D reshapes (Mosaic
+    rejects those shape casts).
+    """
     mu_t = jnp.transpose(params["leaf_mu"], (0, 2, 1))         # (R, I, V)
     std_t = jnp.transpose(
         spn_lib._leaf_std(spec, params["leaf_raw_std"]), (0, 2, 1))
     scope_t = jnp.transpose(jnp.asarray(spec.scopes), (0, 2, 1))  # (R, V, L)
-    sum_ws = [
-        jnp.exp(jax.nn.log_softmax(params[f"sum_logits_{d}"], axis=-1))
-        for d in range(spec.depth - 1, -1, -1)
-    ]                                                           # (R, P, S, C²)
+    R, S = spec.num_reps, spec.num_sums
+    sum_w2t = []
+    c = spec.num_leaves
+    for d in range(spec.depth - 1, -1, -1):
+        P = 2 ** d
+        w = jnp.exp(jax.nn.log_softmax(params[f"sum_logits_{d}"], axis=-1))
+        w3 = w.reshape(R, P, S, c, c)                          # [.., s, i, j]
+        w2t = jnp.transpose(w3, (0, 1, 4, 2, 3)).reshape(R, P, c, S * c)
+        sum_w2t.append(w2t)
+        c = S
     root_logw = jax.nn.log_softmax(params["root_logits"])       # (R*S,)
-    return mu_t, std_t, scope_t, sum_ws, root_logw
+    return mu_t, std_t, scope_t, sum_w2t, root_logw
+
+
+def _blocksum_matrices(spec: spn_lib.SpnSpec):
+    """Static (S·c, S) 0/1 matrices summing lane blocks of c, per level."""
+    S = spec.num_sums
+    mats = []
+    c = spec.num_leaves
+    for _ in range(spec.depth):
+        m = np.zeros((S * c, S), np.float32)
+        for s in range(S):
+            m[s * c:(s + 1) * c, s] = 1.0
+        mats.append(jnp.asarray(m))
+        c = S
+    return mats
 
 
 def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
@@ -55,9 +84,10 @@ def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
     V, L = spec.num_vars, spec.num_leaf_regions
 
     def kernel(x_ref, w_ref, mu_ref, std_ref, scope_ref, *rest):
-        sum_refs = rest[:D]
-        root_ref = rest[D]
-        o_ref = rest[D + 1]
+        sum_refs = rest[:D]          # W2T per level, (R, P, c, S·c)
+        block_refs = rest[D:2 * D]   # block-sum matrices, (S·c, S)
+        root_ref = rest[2 * D]
+        o_ref = rest[2 * D + 1]
 
         x = x_ref[:]                                           # (TB, V)
         wgt = w_ref[:]
@@ -71,27 +101,36 @@ def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
             # scope contraction: (TB·I, V) @ (V, L) on the MXU
             acts = jnp.dot(ll.reshape(tile * I, V), scope_ref[r],
                            preferred_element_type=jnp.float32)
-            acts = jnp.transpose(acts.reshape(tile, I, L), (0, 2, 1))
+            acts3 = jnp.transpose(acts.reshape(tile, I, L), (0, 2, 1))
+            # per-region activation list: everything below stays strictly
+            # 2-D (TB, channels) — Mosaic rejects >2-D shape casts/gathers
+            region_acts = [acts3[:, k, :] for k in range(L)]   # L× (TB, I)
 
             c = I
             for level, d in enumerate(range(D - 1, -1, -1)):   # unrolled
                 P = 2 ** d
-                left = acts[:, 0::2, :]                        # (TB, P, c)
-                right = acts[:, 1::2, :]
-                prod = (left[:, :, :, None] + right[:, :, None, :]
-                        ).reshape(tile, P, c * c)
-                m = jnp.max(prod, axis=-1, keepdims=True)
-                e = jnp.exp(prod - m)
-                outs = []
+                nxt = []
                 for p in range(P):                             # unrolled, ≤4
-                    wmat = sum_refs[level][r, p]               # (S, c²)
-                    mixed = jnp.dot(e[:, p, :], wmat.T,
+                    lft, rgt = region_acts[2 * p], region_acts[2 * p + 1]
+                    # factorized log-sum-product:
+                    #   Σ_{ij} W[s,i,j] e^{l_i + r_j − m}
+                    # = Σ_i e^{l_i − ml} · Σ_j W[s,i,j] e^{r_j − mr},
+                    # with m = ml + mr (max factorizes over the outer sum)
+                    ml = jnp.max(lft, axis=-1, keepdims=True)  # (TB, 1)
+                    mr = jnp.max(rgt, axis=-1, keepdims=True)
+                    el = jnp.exp(lft - ml)                     # (TB, c)
+                    er = jnp.exp(rgt - mr)
+                    t2 = jnp.dot(er, sum_refs[level][r, p],
+                                 preferred_element_type=jnp.float32)
+                    #   t2[b, s·c+i] = Σ_j W[s,i,j] er[b,j]     (TB, S·c)
+                    mixed = jnp.dot(t2 * jnp.tile(el, (1, S)),
+                                    block_refs[level][:],
                                     preferred_element_type=jnp.float32)
-                    outs.append(jnp.log(jnp.maximum(mixed, 1e-38))
-                                + m[:, p, :])
-                acts = jnp.stack(outs, axis=1)                 # (TB, P, S)
+                    nxt.append(jnp.log(jnp.maximum(mixed, 1e-38))
+                               + ml + mr)                      # (TB, S)
+                region_acts = nxt
                 c = S
-            tops.append(acts[:, 0, :])                         # (TB, S)
+            tops.append(region_acts[0])                        # (TB, S)
 
         top = jnp.concatenate(tops, axis=-1)                   # (TB, R·S)
         scored = top + root_ref[:]                             # log-weights
@@ -106,7 +145,8 @@ def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
 def _fused_forward(spec: spn_lib.SpnSpec, params, x, weight,
                    tile: int, interpret: bool) -> jnp.ndarray:
     B, V = x.shape
-    mu_t, std_t, scope_t, sum_ws, root_logw = _prepare(spec, params)
+    mu_t, std_t, scope_t, sum_w2t, root_logw = _prepare(spec, params)
+    blocksums = _blocksum_matrices(spec)
     if weight is None:
         weight = jnp.ones_like(x)
 
@@ -118,7 +158,6 @@ def _fused_forward(spec: spn_lib.SpnSpec, params, x, weight,
 
     kernel = _make_kernel(spec, tile)
     grid = (Bp // tile,)
-    D = spec.depth
 
     tile_spec = pl.BlockSpec((tile, V), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -130,13 +169,14 @@ def _fused_forward(spec: spn_lib.SpnSpec, params, x, weight,
         grid=grid,
         in_specs=[tile_spec, tile_spec, full(mu_t), full(std_t),
                   full(scope_t)]
-        + [full(wd) for wd in sum_ws]
+        + [full(wd) for wd in sum_w2t]
+        + [full(bm) for bm in blocksums]
         + [full(root_logw.reshape(1, -1))],
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         interpret=interpret,
-    )(x, weight, mu_t, std_t, scope_t, *sum_ws,
+    )(x, weight, mu_t, std_t, scope_t, *sum_w2t, *blocksums,
       root_logw.reshape(1, -1))
     return out[:B, 0]
 

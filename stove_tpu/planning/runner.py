@@ -57,6 +57,10 @@ def run_episode_model(cfg: Config, model: StoveModel, params,
     env_state = env.init(k_init)
     W = cfg.window
     frames = [np.asarray(env.render(env_state))] * W
+    # actions[t] = action applied AT frame t (drives the transition t → t+1),
+    # matching the data-generator layout and infer's a_{t−1} indexing.  The
+    # newest frame's slot holds a placeholder until the planner picks its
+    # action (infer never reads the window's last action).
     actions = np.zeros((W,), np.int32)
     total = 0.0
     for _ in range(episode_len):
@@ -66,10 +70,11 @@ def run_episode_model(cfg: Config, model: StoveModel, params,
                           jnp.asarray(actions[-W:])[None], k_inf)
         z = inf.z_mean[0, -1]
         action, _counts = planner.run(z, k_plan)
+        actions[-1] = action  # applied at the current (last) frame
         env_state, reward = env.step(env_state, jnp.int32(action))
         total += float(reward)
         frames.append(np.asarray(env.render(env_state)))
-        actions = np.append(actions, action)
+        actions = np.append(actions, 0)  # placeholder for the new frame
     return total
 
 

@@ -39,10 +39,11 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
     frames = normalize_frames(ep.frames[:B, :t_cond])
     actions = ep.actions[:B]
 
-    inf = model.infer(params, frames, actions[:, :t_cond], key)
+    k_inf, k_roll = jax.random.split(key)
+    inf = model.infer(params, frames, actions[:, :t_cond], k_inf)
     z_last = inf.z_mean[:, -1]  # mean state: less handoff noise than a sample
     roll_actions = actions[:, t_cond - 1: t_cond - 1 + t_pred]
-    states, rewards = model.rollout(params, z_last, roll_actions, key,
+    states, rewards = model.rollout(params, z_last, roll_actions, k_roll,
                                     horizon=t_pred, sample=False)
     pred = _model_pos_to_01(states[..., POS])                  # (B, T, O, 2)
     last_inferred = _model_pos_to_01(inf.pos_mean[:, -1])      # (B, O, 2)
@@ -68,30 +69,93 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
     if cfg.action_conditioned:
         true_r = ep.rewards[:B, t_cond - 1: t_cond - 1 + t_pred]
         out["reward_mae"] = jnp.mean(jnp.abs(rewards - true_r))
+        # discrimination quality of the open-loop reward predictions — the
+        # quantity MCTS actually consumes (round-1 planning bottleneck).
+        # AUC > 0.5: head separates collision from free steps.
+        out["reward_auc"] = binary_auc(rewards.reshape(-1),
+                                       true_r.reshape(-1))
+    return out
+
+
+def binary_auc(score: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """ROC-AUC via the Mann-Whitney rank statistic (label 1 = positive).
+
+    Returns NaN when one class is absent.  Ties get midranks.
+    """
+    n = score.shape[0]
+    order = jnp.argsort(score)
+    sorted_scores = score[order]
+    # midranks for ties: average 1-based rank within each equal-score run
+    run_start = jnp.searchsorted(sorted_scores, sorted_scores, side="left")
+    run_end = jnp.searchsorted(sorted_scores, sorted_scores, side="right")
+    mid = 0.5 * (run_start + 1 + run_end).astype(jnp.float32)
+    ranks = jnp.zeros((n,), jnp.float32).at[order].set(mid)
+    pos = label > 0.5
+    n_pos = jnp.sum(pos)
+    n_neg = n - n_pos
+    sum_pos_ranks = jnp.sum(jnp.where(pos, ranks, 0.0))
+    auc = (sum_pos_ranks - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)
+
+
+def baseline_metrics(cfg, ep: Episode, t_cond: Optional[int] = None,
+                     t_pred: Optional[int] = None,
+                     batch: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """Trivial rollout baselines from ground-truth handoff state.
+
+    The paper's accuracy claim is *relative* (STOVE ≈ an order of magnitude
+    below linear/VRNN/SQAIR baselines at 8 steps, SURVEY §6 row 2); these
+    ground the reported MSEs:
+
+    * `linear`: constant-velocity extrapolation from the true positions at
+      the last two conditioning frames (the paper's "linear" baseline).
+    * `frozen`: repeat the last true position (no-dynamics floor).
+
+    Both use ground truth at handoff, so they bound what a perfect detector
+    with a trivial predictor could do.
+    """
+    t_cond = t_cond or cfg.window
+    t_pred = t_pred or cfg.eval_rollout_steps
+    B = min(batch or cfg.eval_batch, ep.frames.shape[0])
+    true = ep.states[:B, t_cond: t_cond + t_pred, :, :2] / cfg.arena_size
+    p_last = ep.states[:B, t_cond - 1, :, :2] / cfg.arena_size  # (B, O, 2)
+    v_last = (ep.states[:B, t_cond - 1, :, :2]
+              - ep.states[:B, t_cond - 2, :, :2]) / cfg.arena_size
+    steps = jnp.arange(1, t_pred + 1, dtype=jnp.float32)
+    linear = p_last[:, None] + steps[None, :, None, None] * v_last[:, None]
+    frozen = jnp.broadcast_to(p_last[:, None], true.shape)
+    out = {}
+    for name, pred in (("linear", linear), ("frozen", frozen)):
+        se = jnp.sum((pred - true) ** 2, axis=-1)
+        out[f"{name}_mse_per_step"] = jnp.mean(se, axis=(0, 2))
+        out[f"{name}_mse_final"] = out[f"{name}_mse_per_step"][-1]
     return out
 
 
 def longhorizon_metrics(model: StoveModel, params, ep: Episode,
                         key: jax.Array, t_cond: Optional[int] = None,
-                        t_pred: int = 50, batch: int = 32
-                        ) -> Dict[str, jnp.ndarray]:
+                        t_pred: int = 50, batch: int = 32,
+                        sample: bool = False) -> Dict[str, jnp.ndarray]:
     """Long-horizon rollout stability (BASELINE.md row 3: gravity rollouts
     must stay physically plausible far beyond 8 steps).
 
     Reports the fraction of predicted positions that stay inside the frame,
     and the ratio of predicted to true mean per-step displacement (≈1 means
-    speeds neither explode nor collapse over the horizon).
+    speeds neither explode nor collapse over the horizon).  `sample=True`
+    evaluates the stochastic rollout protocol (transition noise injected
+    per step) instead of the mean rollout.
     """
     cfg = model.cfg
     t_cond = t_cond or cfg.window
     B = min(batch, ep.frames.shape[0])
     t_pred = min(t_pred, ep.frames.shape[1] - t_cond)
     frames = normalize_frames(ep.frames[:B, :t_cond])
-    inf = model.infer(params, frames, ep.actions[:B, :t_cond], key)
+    k_inf, k_roll = jax.random.split(key)
+    inf = model.infer(params, frames, ep.actions[:B, :t_cond], k_inf)
     states, _ = model.rollout(
         params, inf.z_mean[:, -1],
-        ep.actions[:B, t_cond - 1:t_cond - 1 + t_pred], key,
-        horizon=t_pred, sample=False)
+        ep.actions[:B, t_cond - 1:t_cond - 1 + t_pred], k_roll,
+        horizon=t_pred, sample=sample)
     pred = _model_pos_to_01(states[..., POS])                  # (B, T, O, 2)
     margin = cfg.ball_radius / cfg.arena_size
     in_frame = jnp.mean(

@@ -157,6 +157,7 @@ class Trainer:
                 "loss": out.loss, "elbo": out.elbo, "log_lik": out.log_lik,
                 "kl": out.kl, "reward_loss": out.reward_loss,
                 "overshoot": out.overshoot_loss,
+                "overshoot_reward": out.overshoot_reward_loss,
                 "grad_norm": optax.global_norm(grads),
             }
             return TrainState(params, opt_state, key, state.step + 1), metrics
@@ -259,6 +260,13 @@ class Trainer:
         self.state, key = self._next_key()
         m = eval_lib.rollout_metrics(self.model, self.state.params,
                                      self.test_ep, key)
+        if not getattr(self, "_baselines_logged", False):
+            # trivial-predictor context (training-invariant; logged once)
+            self._baselines_logged = True
+            bl = eval_lib.baseline_metrics(self.cfg, self.test_ep)
+            self.logger.log(int(self.state.step), "baseline", **{
+                k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+                for k, v in bl.items()})
         flat = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
                 for k, v in m.items()}
         self.logger.log(int(self.state.step), "eval", epoch=epoch, **flat)
@@ -278,11 +286,12 @@ class Trainer:
         t_cond, t_pred = cfg.window, cfg.eval_rollout_steps
         frames = data_lib.normalize_frames(self.test_ep.frames[:1, :t_cond])
         actions = self.test_ep.actions[:1]
+        k_inf, k_roll = jax.random.split(key)
         inf = self.model.infer(self.state.params, frames,
-                               actions[:, :t_cond], key)
+                               actions[:, :t_cond], k_inf)
         states, _ = self.model.rollout(
             self.state.params, inf.z_mean[:, -1],
-            actions[:, t_cond - 1:t_cond - 1 + t_pred], key,
+            actions[:, t_cond - 1:t_cond - 1 + t_pred], k_roll,
             horizon=t_pred, sample=False)
         # model panel: reconstruction (inferred) for t < t_cond, then the
         # predicted rollout; true panel: the real frames over the same span
@@ -290,10 +299,15 @@ class Trainer:
             np.asarray(inf.pos_mean[0]),          # (t_cond, O, 2)
             np.asarray(states[0, :, :, 2:4]),     # (t_pred, O, 2)
         ], axis=0)
+        model_size = np.concatenate([
+            np.asarray(inf.z_mean[0, :, :, 0:2]),
+            np.asarray(states[0, :, :, 0:2]),
+        ], axis=0)
         true = data_lib.normalize_frames(
             self.test_ep.frames[0, :t_cond + t_pred])
         viz.dump_rollout_gif(cfg, self.run_dir, f"ep{epoch:04d}",
-                             np.asarray(true), model_pos)
+                             np.asarray(true), model_pos,
+                             pred_sizes=model_size)
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg

@@ -139,9 +139,18 @@ def render_states(cfg: Config, positions: np.ndarray, radii: np.ndarray
 
 def dump_rollout_gif(cfg: Config, run_dir: str, tag: str,
                      true_frames: np.ndarray, pred_pos_model: np.ndarray,
-                     boxes: Optional[np.ndarray] = None) -> str:
-    """true | predicted-rendered side-by-side gif for one sequence."""
-    radii = np.full((pred_pos_model.shape[1],), cfg.ball_radius)
+                     boxes: Optional[np.ndarray] = None,
+                     pred_sizes: Optional[np.ndarray] = None) -> str:
+    """true | predicted-rendered side-by-side gif for one sequence.
+
+    pred_sizes (T, O, 2): the model's inferred box scales (fraction of
+    image); when given, predicted balls render at the inferred size
+    (radius = scale·arena/2) so size-estimate drift is visible in the gif."""
+    if pred_sizes is not None:
+        radii = np.mean(np.asarray(pred_sizes), axis=(0, 2)) \
+            * cfg.arena_size / 2.0
+    else:
+        radii = np.full((pred_pos_model.shape[1],), cfg.ball_radius)
     pred_frames = render_states(cfg, pred_pos_model, radii)
     path = os.path.join(run_dir, f"rollout_{tag}.gif")
     return side_by_side_gif(path, [true_frames, pred_frames],

@@ -55,6 +55,28 @@ class TestMetrics:
         lg.log(0, "train", x=1)  # must not raise
 
 
+class TestConfigKeysLive:
+    def test_every_config_field_is_read_somewhere(self):
+        """Every Config field must be referenced outside config.py — dead
+        keys silently ignore user overrides (round-1 advisor finding)."""
+        import dataclasses
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        sources = []
+        for base in ("stove_tpu", "bench.py", "__graft_entry__.py"):
+            p = root / base
+            if p.is_dir():
+                sources += [f for f in p.rglob("*.py")
+                            if f.name != "config.py"]
+            elif p.exists():
+                sources.append(p)
+        blob = "\n".join(f.read_text() for f in sources)
+        dead = [f.name for f in dataclasses.fields(Config)
+                if f.name not in blob]
+        assert not dead, f"config keys never read outside config.py: {dead}"
+
+
 class TestPresets:
     def test_all_presets_build(self):
         for name in PRESETS:

@@ -65,13 +65,21 @@ class TestDynamics:
     def test_action_conditioning_changes_output(self, cfgm):
         cfg = cfgm.with_overrides(action_conditioned=True)
         params = dyn_lib.init_params(jax.random.key(5), cfg)
-        # zero-init head: actions must reach stds/attention path at least
-        # after one grad step; here check shapes + reward head range
         z = jax.random.normal(jax.random.key(6),
                               (3, cfg.num_obj, cfg.full_state_dim)) * 0.3
         out = dyn_lib.apply(params, cfg, z, jnp.array([0, 3, 8]))
         assert out.reward.shape == (3,)
         assert jnp.all((out.reward >= 0) & (out.reward <= 1))
+        # the output head is zero-init (identity flow), so un-zero it: with
+        # any nonzero readout, different actions MUST produce different
+        # transition means — proves the action one-hot reaches the output
+        p2 = jax.tree_util.tree_map(lambda x: x, params)
+        p2["out"][-1]["w"] = 0.1 * jax.random.normal(
+            jax.random.key(7), params["out"][-1]["w"].shape)
+        z1 = jnp.tile(z[:1], (2, 1, 1))
+        out2 = dyn_lib.apply(p2, cfg, z1, jnp.array([0, 5]))
+        assert not jnp.allclose(out2.mean[0], out2.mean[1]), \
+            "different actions must change the predicted transition"
 
 
 class TestSupair:
@@ -133,6 +141,40 @@ class TestStove:
         aligned = stove_lib.align_slots(ref, new, new)
         np.testing.assert_allclose(
             aligned, [[[0.1, 0.0], [1.1, 1.0], [-0.9, -1.0]]], atol=1e-6)
+
+    def test_greedy_assignment_matches_exact(self):
+        """Greedy fallback equals the exact assignment on tracking-like
+        costs (one clearly-nearest candidate per slot)."""
+        key = jax.random.key(0)
+        for O in (3, 4):
+            pos = jax.random.uniform(jax.random.key(O), (16, O, 2),
+                                     minval=-1, maxval=1)
+            # well-separated slots + small jitter = tracking regime
+            pos = pos + jnp.arange(O)[None, :, None] * 2.0
+            noise = 0.05 * jax.random.normal(key, pos.shape)
+            perm = jnp.argsort(jax.random.uniform(jax.random.key(O + 9),
+                                                  (16, O)), axis=1)
+            scrambled = jnp.take_along_axis(pos + noise,
+                                            perm[..., None], axis=1)
+            cost = jnp.sum((pos[:, :, None] - scrambled[:, None]) ** 2, -1)
+            np.testing.assert_array_equal(
+                np.asarray(stove_lib._exact_assignment(cost)),
+                np.asarray(stove_lib._greedy_assignment(cost)))
+
+    def test_o6_elbo_and_grad(self, cfgm):
+        """O=6 exercises the greedy slot-alignment path end-to-end."""
+        cfg = cfgm.with_overrides(num_obj=6)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        frames = jax.random.uniform(jax.random.key(2), (2, cfg.window, 32, 32))
+        out = stove_lib.elbo(params, cfg, specs, frames, None, None,
+                             jax.random.key(3))
+        assert jnp.isfinite(out.loss)
+        assert out.inferred.z.shape == (2, cfg.window, 6, cfg.full_state_dim)
+        g = jax.grad(lambda p: stove_lib.elbo(
+            p, cfg, specs, frames, None, None, jax.random.key(3)).loss)(params)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(g))
 
     def test_action_conditioned_elbo_with_rewards(self, cfgm):
         cfg = cfgm.with_overrides(action_conditioned=True, reward_head=True,

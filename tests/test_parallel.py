@@ -99,6 +99,32 @@ class TestDataParallelTrainer:
         leaf = jax.tree_util.tree_leaves(t.state.params)[0]
         assert leaf.sharding.spec == P()  # still replicated after update
 
+    def test_two_epoch_metrics_match_single_device(self, tmp_path):
+        """2 fused epochs on the 8-device mesh reproduce the 1-device mesh
+        run's metrics — sharding changes layout, not math (SURVEY §4:
+        multi-node equivalence without a cluster)."""
+        from stove_tpu.train.trainer import Trainer
+
+        common = dict(
+            data_dir=str(tmp_path / "d"), run_dir=str(tmp_path / "r"),
+            batch_size=8, num_epochs=2, steps_per_epoch=2, eval_every=99,
+            ckpt_every=99, supair_only_epochs=0, nolog=True)
+        cfg8 = Config().debug_shrunk().with_overrides(**common)
+        cfg1 = cfg8.with_overrides(mesh_shape=(1,))
+
+        t8 = Trainer(cfg8)
+        assert t8.mesh.devices.size == 8
+        m8 = [t8.train_epoch(e) for e in range(2)]
+        t1 = Trainer(cfg1)
+        assert t1.mesh.devices.size == 1
+        m1 = [t1.train_epoch(e) for e in range(2)]
+        for a, b in zip(m8, m1):
+            for k in a:
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=5e-3, atol=1e-5,
+                    err_msg=f"metric {k} diverges between 8- and 1-device "
+                            f"meshes")
+
     def test_restore_preserves_replication(self, tmp_path):
         """Resume under DP must re-replicate the restored state."""
         from stove_tpu.train.trainer import Trainer
