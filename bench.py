@@ -54,19 +54,30 @@ def measure_baseline() -> float:
     return B * H / dt
 
 
-def bench_train_step(dtype: str) -> float:
-    """Secondary: full ELBO train-step throughput (windows/sec), batch 128."""
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
+
+
+def bench_train_step(dtype: str, spn_impl: str = "matmul",
+                     batch: int = 1024) -> dict:
+    """Full ELBO train-step throughput (windows/sec) + FLOPs/window + MFU.
+
+    FLOPs come from XLA's own cost analysis of the compiled step; MFU is
+    reported against the v5e bf16 peak (a conservative denominator for the
+    f32 parts).  Steps are host-dispatched but carry (params, opt_state)
+    dependencies, so the device pipeline stays busy; at batch ≥ 1024 the
+    axon tunnel's ~1-2 ms dispatch latency is <5% of step time.
+    """
     import optax
 
     from stove_tpu.config import Config
     from stove_tpu.models import stove as stove_lib
 
-    cfg = Config().with_overrides(compute_dtype=dtype)
+    cfg = Config().with_overrides(compute_dtype=dtype, spn_impl=spn_impl)
     specs = stove_lib.make_specs(jax.random.key(0), cfg)
     params = stove_lib.init_params(jax.random.key(1), cfg, specs)
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
-    B = 128
+    B = batch
     frames = jax.random.uniform(jax.random.key(2),
                                 (B, cfg.window, cfg.img_size, cfg.img_size))
 
@@ -78,15 +89,29 @@ def bench_train_step(dtype: str) -> float:
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    params, opt_state, loss = step(params, opt_state, jax.random.key(3))
+    compiled = step.lower(params, opt_state, jax.random.key(3)).compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+    params, opt_state, loss = compiled(params, opt_state, jax.random.key(3))
     loss.block_until_ready()
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, loss = step(params, opt_state, jax.random.key(i))
+        params, opt_state, loss = compiled(params, opt_state,
+                                           jax.random.key(i))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
-    return iters * B / dt
+    wps = iters * B / dt
+    flops_per_window = flops / B
+    achieved = wps * flops_per_window
+    return {
+        "windows_per_sec": wps,
+        "flops_per_window": flops_per_window,
+        "achieved_tflops": achieved / 1e12,
+        "mfu_vs_bf16_peak": achieved / V5E_BF16_PEAK_FLOPS,
+    }
 
 
 def main() -> int:
@@ -96,10 +121,21 @@ def main() -> int:
         return 0
 
     if "--train" in sys.argv:
-        for dtype in ("float32", "bfloat16"):
-            wps = bench_train_step(dtype)
-            print(f"train step ({dtype}): {wps:.1f} windows/s "
-                  f"({wps * 8:.0f} frames/s)")
+        batch = 1024
+        for a in sys.argv:
+            if a.startswith("--batch="):
+                batch = int(a.split("=")[1])
+        impls = (("float32", "matmul"), ("float32", "dense"),
+                 ("bfloat16", "matmul"))
+        if "--quick" in sys.argv:
+            impls = (("float32", "matmul"),)
+        for dtype, impl in impls:
+            m = bench_train_step(dtype, impl, batch)
+            print(f"train step ({dtype}, spn={impl}, B={batch}): "
+                  f"{m['windows_per_sec']:.1f} windows/s | "
+                  f"{m['flops_per_window'] / 1e6:.1f} MFLOP/window | "
+                  f"{m['achieved_tflops']:.2f} TFLOP/s | "
+                  f"MFU {100 * m['mfu_vs_bf16_peak']:.2f}% of bf16 peak")
         return 0
 
     cfg, specs, params, stove_lib = build()

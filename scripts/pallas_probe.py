@@ -178,10 +178,16 @@ def main():
                 best_tf, best_tile = tf, tile
         f_dense = lambda p, x, w, sp=sp: spn_lib.spn_log_prob(sp, p, x, w)
         td = bench(f_dense, pp, xb, wb)
+        f_mm = lambda p, x, w, sp=sp: spn_lib.spn_log_prob_matmul(
+            sp, p, x, w)
+        tm = bench(f_mm, pp, xb, wb)
         record(f"stage4_{name}_dense_us_per_call", round(td * 1e6, 1))
+        record(f"stage4_{name}_matmul_us_per_call", round(tm * 1e6, 1))
         record(f"stage4_{name}_best_tile", best_tile)
         record(f"stage4_{name}_speedup_fused_over_dense",
                round(td / best_tf, 3))
+        record(f"stage4_{name}_speedup_matmul_over_dense",
+               round(td / tm, 3))
 
     record("probe_complete", True)
     print("[probe] DONE", flush=True)

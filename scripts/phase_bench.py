@@ -1,0 +1,124 @@
+"""Per-phase train-step timing on the TPU (VERDICT round-1 item 4: find the
+top time sinks in the ~3%-MFU ELBO step).
+
+Times forward+backward of each phase in isolation with chained jitted
+iterations (the axon tunnel's per-dispatch latency would otherwise dominate):
+
+  encode     — encoder CNN over B·T frames
+  glimpse    — spatial-transformer patch extraction (+ coverage chain)
+  obj_spn    — object SPN log-lik over B·T·O patches
+  bg_spn     — background SPN log-lik over B·T frames
+  likelihood — full SuPAIR likelihood (glimpse + both SPNs + overlap chain)
+  scan       — the t-recursion (dynamics + posterior algebra), encoder fixed
+  full       — the whole ELBO step (sum of parts + optimizer ≈ this)
+
+Writes runs/phase_bench.json.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+B = int(os.environ.get("PB_BATCH", "1024"))
+ITERS = int(os.environ.get("PB_ITERS", "10"))
+RESULTS_PATH = os.path.join(os.path.dirname(__file__), "..", "runs",
+                            "phase_bench.json")
+RESULTS = {}
+
+
+def record(key, value):
+    RESULTS[key] = value
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(f"[phase] {key}: {value}", flush=True)
+
+
+def timeit(grad_fn, params, *args):
+    """Mean seconds per grad call, ITERS chained inside one jit."""
+    def chained(p, *a):
+        def body(carry, _):
+            g = grad_fn(jax.tree_util.tree_map(
+                lambda x: x + 1e-30 * carry, p), *a)
+            leaves = jax.tree_util.tree_leaves(g)
+            s = sum(jnp.sum(l) for l in leaves) * 1e-30
+            return carry + s, None
+        out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=ITERS)
+        return out
+
+    run = jax.jit(chained)
+    run(params, *args).block_until_ready()
+    t = time.time()
+    run(params, *args).block_until_ready()
+    return (time.time() - t) / ITERS
+
+
+def main():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from stove_tpu.config import Config
+    from stove_tpu.models import stove as stove_lib
+    from stove_tpu.models import supair as supair_lib
+    from stove_tpu.models import spn as spn_lib
+    from stove_tpu.ops import glimpse as glimpse_lib
+
+    cfg = Config().with_overrides(
+        spn_impl=os.environ.get("PB_SPN", "matmul"))
+    specs = stove_lib.make_specs(jax.random.key(0), cfg)
+    params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+    T, O, P = cfg.window, cfg.num_obj, cfg.patch_size
+    record("config", f"B={B} T={T} impl={cfg.spn_impl} iters={ITERS}")
+
+    frames = jax.random.uniform(jax.random.key(2),
+                                (B, T, cfg.img_size, cfg.img_size))
+    flat = frames.reshape(B * T, cfg.img_size, cfg.img_size)
+    boxes = jnp.tile(jnp.array([0.24, 0.24, 0.1, -0.1]), (B * T, O, 1))
+    patches = jax.random.uniform(jax.random.key(3), (B * T * O, P * P))
+    pweights = jnp.ones((B * T * O, P * P))
+
+    # encode
+    enc = jax.grad(lambda p, f: jnp.sum(
+        supair_lib.encode(p["supair"], cfg, f)[0]))
+    record("encode_ms", round(1e3 * timeit(enc, params, flat), 2))
+
+    # glimpse extraction alone (grad w.r.t. boxes — the trained path)
+    gl = jax.grad(lambda b, f: jnp.sum(
+        glimpse_lib.extract_glimpses(f, b, P)))
+    record("glimpse_ms", round(1e3 * timeit(gl, boxes, flat), 2))
+
+    # obj spn
+    if cfg.spn_impl == "dense":
+        spn_fn = spn_lib.spn_log_prob
+    else:
+        spn_fn = spn_lib.spn_log_prob_matmul
+    obj = jax.grad(lambda p, x, w: jnp.sum(
+        spn_fn(specs.supair.obj, p["supair"]["obj_spn"], x, w)))
+    record("obj_spn_ms", round(1e3 * timeit(obj, params, patches,
+                                            pweights), 2))
+
+    # bg spn
+    bg = jax.grad(lambda p, x: jnp.sum(
+        spn_fn(specs.supair.bg, p["supair"]["bg_spn"], x,
+               jnp.ones_like(x))))
+    record("bg_spn_ms", round(1e3 * timeit(
+        bg, params, flat.reshape(B * T, -1)), 2))
+
+    # full likelihood
+    lik = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
+        p["supair"], cfg, specs.supair, f, b)))
+    record("likelihood_ms", round(1e3 * timeit(lik, params, flat, boxes), 2))
+
+    # full elbo
+    full = jax.grad(lambda p, f: stove_lib.elbo(
+        p, cfg, specs, f, None, None, jax.random.key(7)).loss)
+    t_full = timeit(full, params, frames)
+    record("full_elbo_ms", round(1e3 * t_full, 2))
+    record("windows_per_sec", round(B / t_full, 1))
+
+    print("[phase] DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,7 +166,12 @@ class Config:
     # ---- parallelism / performance ---------------------------------------
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
-    use_pallas: bool = True                # pallas kernels on TPU hot paths
+    spn_impl: str = "matmul"               # SPN evaluation path:
+    #   matmul — leaf stage folded into 3 MXU matmuls (no (B,R,V,I)
+    #            intermediates; fastest, default)
+    #   dense  — layerwise einsum stack (golden-oracle shape)
+    #   pallas — fused VMEM-resident kernel (forward; XLA-dense backward);
+    #            falls back to matmul where Mosaic can't run (logged once)
     fused_epoch: bool = True               # scan whole epoch in one jit call
     compute_dtype: str = "float32"         # bfloat16 | float32 for nets
     donate_state: bool = True

@@ -97,9 +97,33 @@ def generate(cfg: Config, num: int, key: jax.Array, quantize: bool = True,
     return out
 
 
+def _physics_tag(cfg: Config) -> str:
+    """Short hash of physics params that differ from the defaults.
+
+    The dataset content depends on these, so they must be part of the file
+    identity — otherwise e.g. `avoidance_dense` (r=1.6, faster balls) would
+    silently load a default-physics corpus generated earlier (round-2 bug:
+    exactly that happened).  Default-physics configs keep the untagged
+    name, so existing corpora remain valid.
+    """
+    import hashlib
+
+    defaults = Config()
+    keys = ("arena_size", "ball_radius", "init_speed", "gravity_strength",
+            "gravity_eps", "gravity_center_pull", "gravity_dt",
+            "physics_substeps", "num_actions", "action_speed",
+            "reward_contact", "reward_free", "img_size")
+    diffs = [f"{k}={getattr(cfg, k)}" for k in keys
+             if getattr(cfg, k) != getattr(defaults, k)]
+    if not diffs:
+        return ""
+    return "_p" + hashlib.md5(",".join(diffs).encode()).hexdigest()[:8]
+
+
 def dataset_path(cfg: Config, split: str) -> str:
     num = cfg.num_train if split == "train" else cfg.num_test
-    name = f"{cfg.task}_o{cfg.num_obj}_n{num}_t{cfg.seq_len}_{split}.npz"
+    name = (f"{cfg.task}_o{cfg.num_obj}_n{num}_t{cfg.seq_len}"
+            f"{_physics_tag(cfg)}_{split}.npz")
     return os.path.join(cfg.data_dir, name)
 
 

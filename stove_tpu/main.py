@@ -92,11 +92,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         m.update({f"longhorizon_{k}": v for k, v in
                   eval_lib.longhorizon_metrics(
                       model, loaded["params"], test_ep,
-                      jax.random.key(cfg.seed + 1)).items()})
+                      jax.random.key(cfg.seed + 1), t_pred=80).items()})
         m.update({f"longhorizon_sampled_{k}": v for k, v in
                   eval_lib.longhorizon_metrics(
                       model, loaded["params"], test_ep,
-                      jax.random.key(cfg.seed + 2), sample=True).items()})
+                      jax.random.key(cfg.seed + 2), t_pred=80,
+                      sample=True).items()})
         m.update(eval_lib.baseline_metrics(cfg, test_ep))
         for k, v in m.items():
             print(f"{k}: {np.asarray(v)}")

@@ -70,8 +70,11 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     params = {
         "embed": _mlp_init(k[0], [d_in] + hid),
         "self": _mlp_init(k[1], [h] + hid),
-        "rel": _mlp_init(k[2], [2 * h] + hid),
-        "att": _mlp_init(k[3], [2 * h] + hid + [1]),
+        # relational features and the pairwise attention score share one
+        # MLP trunk (outputs h+1: h features + 1 attention logit) — halves
+        # the sequential pair-MLP matmuls inside the training scan, where
+        # small-op serialization dominates (round-2 phase_bench)
+        "rel": _mlp_init(k[2], [2 * h] + hid + [h + 1]),
         "out": _mlp_init(k[4], [2 * h] + hid + [d_out], scale=1.0),
     }
     # zero-init the final output layer: the transition starts as the identity
@@ -114,8 +117,9 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
         jnp.broadcast_to(e[:, :, None, :], (B, O, O, e.shape[-1])),
         jnp.broadcast_to(e[:, None, :, :], (B, O, O, e.shape[-1])),
     ], axis=-1)
-    rel = _mlp(params["rel"], pair, dtype=cd)                 # (B, O, O, h)
-    att = jax.nn.sigmoid(_mlp(params["att"], pair, dtype=cd))  # (B, O, O, 1)
+    rel_att = _mlp(params["rel"], pair, dtype=cd)             # (B, O, O, h+1)
+    rel = rel_att[..., :-1]
+    att = jax.nn.sigmoid(rel_att[..., -1:])                   # (B, O, O, 1)
     mask = (1.0 - jnp.eye(O, dtype=z.dtype))[None, :, :, None]
     r = jnp.sum(rel * att * mask, axis=2)                     # (B, O, h)
 

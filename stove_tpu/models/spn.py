@@ -147,6 +147,69 @@ def spn_log_prob(spec: SpnSpec, params: Dict[str, jnp.ndarray],
     return jax.scipy.special.logsumexp(top + root_logw[None], axis=-1)
 
 
+def spn_log_prob_matmul(spec: SpnSpec, params: Dict[str, jnp.ndarray],
+                        x: jnp.ndarray, weight: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+    """`spn_log_prob` with the leaf stage restructured as three MXU matmuls.
+
+    The dense path materializes ll (B, R, V, I) — for the background SPN at
+    training batch sizes that is hundreds of MB of HBM traffic per step and
+    dominates the train-step time (round-1 MFU finding).  Expanding the
+    Gaussian log-density in powers of x,
+
+        w·ll[b,r,v,i] = −½ (w x²)[b,v] a2[r,v,i] + (w x)[b,v] a1[r,v,i]
+                        − w[b,v] c0[r,v,i],
+        a2 = 1/σ², a1 = μ/σ², c0 = ½μ²/σ² + ½log 2π + log σ,
+
+    lets the scope contraction Σ_v scope[r,l,v] · (w·ll) fold into the
+    coefficients: acts (B, R·L·I) = three (B, V) @ (V, R·L·I) matmuls with
+    parameter-only matrices M_k[v, rli] = scope[r,l,v]·coef_k[r,v,i].  No
+    (B,R,V,I) tensor ever exists.  Mathematically identical to
+    `spn_log_prob` up to f32 summation order (golden-tested).
+    """
+    R, I, S, D = spec.num_reps, spec.num_leaves, spec.num_sums, spec.depth
+    B, V = x.shape
+    L = spec.num_leaf_regions
+    if weight is None:
+        weight = jnp.ones_like(x)
+
+    mu = params["leaf_mu"]                                    # (R, V, I)
+    std = _leaf_std(spec, params["leaf_raw_std"])
+    a2 = 1.0 / (std * std)
+    a1 = mu * a2
+    c0 = 0.5 * mu * mu * a2 + 0.5 * _LOG2PI + jnp.log(std)
+    scope = jnp.asarray(spec.scopes)                          # (R, L, V)
+
+    def fold(coef):                                           # (V, R·L·I)
+        return jnp.einsum("rlv,rvi->vrli", scope, coef,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).reshape(V, R * L * I)
+
+    # HIGH (bf16x3) carries ~f32 accuracy at half the pass count of HIGHEST;
+    # verified against the dense/oracle paths in tests at V=1024 scale
+    hi = jax.lax.Precision.HIGH
+    acts = (-0.5 * jnp.dot(weight * x * x, fold(a2), precision=hi)
+            + jnp.dot(weight * x, fold(a1), precision=hi)
+            - jnp.dot(weight, fold(c0), precision=hi))
+    acts = acts.reshape(B, R, L, I)
+
+    for d in range(D - 1, -1, -1):
+        left = acts[:, :, 0::2, :, None]                      # (B,R,P,c,1)
+        right = acts[:, :, 1::2, None, :]                     # (B,R,P,1,c)
+        prod = (left + right).reshape(
+            acts.shape[0], R, acts.shape[2] // 2, -1)         # (B,R,P,c²)
+        logw = jax.nn.log_softmax(params[f"sum_logits_{d}"], axis=-1)
+        m = jax.lax.stop_gradient(jnp.max(prod, axis=-1, keepdims=True))
+        mixed = jnp.einsum("brpc,rpsc->brps", jnp.exp(prod - m),
+                           jnp.exp(logw),
+                           precision=jax.lax.Precision.HIGHEST)
+        acts = jnp.log(jnp.maximum(mixed, 1e-38)) + m         # (B,R,P,S)
+
+    top = acts.reshape(acts.shape[0], R * S)
+    root_logw = jax.nn.log_softmax(params["root_logits"])
+    return jax.scipy.special.logsumexp(top + root_logw[None], axis=-1)
+
+
 # --------------------------------------------------------------------------
 # numpy oracle (tests only)
 # --------------------------------------------------------------------------

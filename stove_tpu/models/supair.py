@@ -136,21 +136,21 @@ def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
         patch_w = jnp.ones_like(patches)
         bg_vis = glimpse.background_visibility(boxes, cfg.img_size)
 
-    if cfg.use_pallas and _pallas_available():
+    impl = cfg.spn_impl
+    if impl == "pallas" and not _pallas_available():
+        impl = "matmul"
+    if impl == "pallas":
         from stove_tpu.ops.pallas_spn import spn_log_prob_fused
-        obj_ll = spn_log_prob_fused(
-            specs.obj, params["obj_spn"],
-            patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
-        bg_ll = spn_log_prob_fused(
-            specs.bg, params["bg_spn"],
-            frames.reshape(B, V), bg_vis.reshape(B, V))
+        spn_fn = lambda spec, p, xx, ww: spn_log_prob_fused(spec, p, xx, ww)
+    elif impl == "dense":
+        spn_fn = spn_lib.spn_log_prob
     else:
-        obj_ll = spn_lib.spn_log_prob(
-            specs.obj, params["obj_spn"],
-            patches.reshape(B * O, P * P), patch_w.reshape(B * O, P * P))
-        bg_ll = spn_lib.spn_log_prob(
-            specs.bg, params["bg_spn"],
-            frames.reshape(B, V), bg_vis.reshape(B, V))
+        spn_fn = spn_lib.spn_log_prob_matmul
+    obj_ll = spn_fn(specs.obj, params["obj_spn"],
+                    patches.reshape(B * O, P * P),
+                    patch_w.reshape(B * O, P * P))
+    bg_ll = spn_fn(specs.bg, params["bg_spn"],
+                   frames.reshape(B, V), bg_vis.reshape(B, V))
     return jnp.sum(obj_ll.reshape(B, O), axis=1) + bg_ll
 
 

@@ -129,21 +129,30 @@ def run_planning(cfg: Config, params=None) -> Dict[str, float]:
     env = EnvHandles(cfg)
     model_planner = MCTS(LearnedSimulator(model, params), cfg)
     oracle_planner = MCTS(TrueSimulator(cfg), cfg)
-    out: Dict[str, float] = {}
-    for name, fn in (
+    policies = (
         ("model", lambda k: run_episode_model(cfg, model, params, k,
                                               planner=model_planner, env=env)),
         ("oracle", lambda k: run_episode_oracle(cfg, k,
                                                 planner=oracle_planner,
                                                 env=env)),
         ("random", lambda k: run_episode_random(cfg, k, env=env)),
-    ):
-        scores = []
-        for ep in range(cfg.mcts_episodes):
-            key, sub = jax.random.split(key)
-            scores.append(fn(sub))
-        out[f"{name}_mean_reward"] = float(np.mean(scores))
-        out[f"{name}_std"] = float(np.std(scores))
+    )
+    # common random numbers: every policy sees the SAME episode seed (and
+    # hence the same env initialization — k_init is split identically in
+    # each run_episode_*), so policy differences aren't drowned in
+    # init-to-init variance
+    scores: Dict[str, list] = {name: [] for name, _ in policies}
+    for ep in range(cfg.mcts_episodes):
+        k_ep = jax.random.fold_in(key, ep)
+        for name, fn in policies:
+            scores[name].append(fn(k_ep))
+        print(f"[plan] episode {ep}: " + "  ".join(
+            f"{n}={scores[n][-1]:.0f}" for n, _ in policies), flush=True)
+    out: Dict[str, float] = {}
+    for name, _ in policies:
+        out[f"{name}_mean_reward"] = float(np.mean(scores[name]))
+        out[f"{name}_std"] = float(np.std(scores[name]))
         print(f"[plan] {name}: mean={out[f'{name}_mean_reward']:.2f} "
-              f"over {cfg.mcts_episodes} episodes", flush=True)
+              f"± {out[f'{name}_std']:.2f} over {cfg.mcts_episodes} "
+              f"episodes", flush=True)
     return out

@@ -88,6 +88,17 @@ class TestPresets:
         cfg = make_config("stove_gravity", "num_obj=5")
         assert cfg.task == "gravity" and cfg.num_obj == 5
 
+    def test_dataset_path_encodes_physics(self):
+        """Different physics (avoidance vs avoidance_dense) must never map
+        to the same dataset file; default physics keeps the legacy name."""
+        from stove_tpu.envs.data import dataset_path
+
+        a = dataset_path(make_config("stove_avoidance"), "train")
+        d = dataset_path(make_config("avoidance_dense"), "train")
+        assert a != d
+        assert "_p" not in a  # legacy (default-physics) name preserved
+        assert "_p" in d
+
 
 class TestVizMode:
     def test_cli_viz_from_checkpoint(self, tmp_path):

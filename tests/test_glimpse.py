@@ -26,6 +26,17 @@ class TestExtract:
         oracle = glimpse.reference_bilinear(img, boxes, 10)
         np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
 
+    def test_gather_variant_matches_oracle(self):
+        img = _rand_img(jax.random.key(2))
+        boxes = jnp.array([
+            [0.3, 0.4, -0.2, 0.1],
+            [0.15, 0.15, 0.8, -0.7],
+            [1.0, 1.0, 0.0, 0.0],
+        ])
+        ours = glimpse.extract_glimpses_gather(img[None], boxes[None], 10)[0]
+        oracle = glimpse.reference_bilinear(img, boxes, 10)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
     def test_identity_box_reproduces_image(self):
         img = _rand_img(jax.random.key(1))
         boxes = jnp.array([[1.0, 1.0, 0.0, 0.0]])

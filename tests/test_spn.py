@@ -51,6 +51,35 @@ class TestAgainstOracle:
                                       np.asarray(w))
         np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-5)
 
+    def test_matmul_leaf_path_matches_dense(self, setup):
+        """The 3-matmul leaf restructure must equal the dense path (up to
+        f32 summation order) — with and without fractional weights, at a
+        realistic size (bg SPN: V=1024)."""
+        spec, params, x = setup
+        w = jax.random.uniform(jax.random.key(11), x.shape)
+        for ww in (None, w):
+            a = spn.spn_log_prob(spec, params, x, ww)
+            b = spn.spn_log_prob_matmul(spec, params, x, ww)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        big = spn.make_spec(jax.random.key(8), 1024, 3, 6, 6, 2,
+                            min_std=0.08, max_std=1.0)
+        bp = spn.init_params(jax.random.key(4), big)
+        xb = jax.random.uniform(jax.random.key(6), (4, 1024))
+        wb = jax.random.uniform(jax.random.key(7), (4, 1024))
+        a = spn.spn_log_prob(big, bp, xb, wb)
+        b = spn.spn_log_prob_matmul(big, bp, xb, wb)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)
+
+    def test_matmul_path_grads_match_dense(self, setup):
+        spec, params, x = setup
+        g1 = jax.grad(lambda p: jnp.sum(spn.spn_log_prob(spec, p, x)))(params)
+        g2 = jax.grad(lambda p: jnp.sum(
+            spn.spn_log_prob_matmul(spec, p, x)))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
 
 class TestCalculus:
     def test_full_marginalization_is_zero(self, setup):
