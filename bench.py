@@ -72,7 +72,8 @@ def bench_train_step(dtype: str, spn_impl: str = "matmul",
     from stove_tpu.config import Config
     from stove_tpu.models import stove as stove_lib
 
-    cfg = Config().with_overrides(compute_dtype=dtype, spn_impl=spn_impl)
+    cfg = Config().with_overrides(compute_dtype=dtype, spn_impl=spn_impl,
+                                  encoder_space_to_depth=2)
     specs = stove_lib.make_specs(jax.random.key(0), cfg)
     params = stove_lib.init_params(jax.random.key(1), cfg, specs)
     opt = optax.adam(2e-3)

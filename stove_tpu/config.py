@@ -124,6 +124,8 @@ class Config:
     scale_max: float = 0.6                 # max object scale
     encoder_channels: Tuple[int, ...] = (32, 64, 128)
     encoder_mlp_hidden: int = 256
+    encoder_space_to_depth: int = 1        # s: fold s×s pixel blocks into
+    #   channels before the conv stack (MXU efficiency; 1 = off)
     min_enc_std: float = 0.01              # floor on q_sup stds
     max_enc_std: float = 0.3
     obj_spn_num_sums: int = 10             # RAT-SPN S per region (re-verify)
@@ -185,6 +187,12 @@ class Config:
     mcts_episode_len: int = 100
     mcts_frontier: int = 4                 # leaves expanded per device call
     #   (1 = serial UCT like the reference; >1 batches K·A evals per call)
+    mcts_eval_samples: int = 1             # rollouts averaged per leaf eval
+    #   (1 = one mean rollout; >1 = that many SAMPLED rollouts, averaged —
+    #   integrates transition noise into the value estimate)
+    mcts_reward_base_rate: float = 0.0     # π = P(reward=1) in the training
+    #   corpus; >0 undoes the balanced-BCE probability distortion in the
+    #   planner's value estimates (calibration; 0 = off)
     mcts_virtual_loss: float = 1.0         # selection diversification weight
 
     # ------------------------------------------------------------------ api
@@ -245,6 +253,15 @@ class Config:
         )
 
 
+# Settings shared by every preset (round-2 validated improvements over the
+# bare-Config defaults; the bare defaults stay backward-compatible so run
+# dirs written before these fields existed restore correctly).
+_PRESET_COMMON = dict(
+    # s=2 space-to-depth encoder: +22% train throughput AND ~2× better
+    # detection/rollout accuracy at equal budget (RESULTS.md round 2)
+    encoder_space_to_depth=2,
+)
+
 # The five driver configs from BASELINE.json, as named presets.
 PRESETS = {
     # 1. SuPAIR-only object detection ELBO on 2-ball billiards frames
@@ -280,6 +297,6 @@ def make_config(preset: Optional[str] = None, *overrides: str, **kwargs) -> Conf
     if preset is not None:
         if preset not in PRESETS:
             raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
-        cfg = cfg.with_overrides(**PRESETS[preset])
+        cfg = cfg.with_overrides(**{**_PRESET_COMMON, **PRESETS[preset]})
         cfg = dataclasses.replace(cfg, preset=preset)
     return cfg.with_overrides(*overrides, **kwargs)

@@ -118,20 +118,21 @@ def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
 
     if cfg.overlap_correction and O > 1:
         # pixels claimed by earlier objects are marginalized from later
-        # object patches (SURVEY §2.1: overlap/count correction).  The claim
-        # chain is an O-step unrolled loop; each step samples the running
-        # coverage mask into the next object's patch frame with the same
-        # separable-matmul glimpse op.
-        cover = glimpse.box_coverage(boxes, cfg.img_size)     # (B, O, H, W)
-        claimed = jnp.zeros_like(cover[:, 0])                 # (B, H, W)
-        weights = []
-        for o in range(O):
-            w_o = 1.0 - glimpse.extract_glimpses(
-                claimed, boxes[:, o:o + 1], P)[:, 0]          # (B, P, P)
-            weights.append(jnp.clip(w_o, 0.0, 1.0))
-            claimed = jnp.maximum(claimed, cover[:, o])
-        patch_w = jnp.stack(weights, axis=1)                  # (B, O, P, P)
-        bg_vis = 1.0 - claimed                                # (B, H, W)
+        # object patches (SURVEY §2.1: overlap/count correction).  The
+        # "claimed before object o" mask is an EXCLUSIVE running max over
+        # the coverage masks — one lax.cummax — and all O claim-glimpses
+        # run as a single batched extraction (the reference's sequential
+        # per-object loop, vectorized; identical math).
+        H = cfg.img_size
+        cover = glimpse.box_coverage(boxes, H)                # (B, O, H, W)
+        cum = jax.lax.cummax(cover, axis=1)
+        claimed_excl = jnp.concatenate(
+            [jnp.zeros_like(cover[:, :1]), cum[:, :-1]], axis=1)
+        w_all = 1.0 - glimpse.extract_glimpses(
+            claimed_excl.reshape(B * O, H, H),
+            boxes.reshape(B * O, 1, 4), P)[:, 0]              # (B·O, P, P)
+        patch_w = jnp.clip(w_all, 0.0, 1.0).reshape(B, O, P, P)
+        bg_vis = 1.0 - cum[:, -1]                             # (B, H, W)
     else:
         patch_w = jnp.ones_like(patches)
         bg_vis = glimpse.background_visibility(boxes, cfg.img_size)

@@ -33,22 +33,45 @@ class LearnedSimulator(Simulator):
         self.num_actions = model.cfg.num_actions
         cfg = model.cfg
 
+        def _calibrate(q):
+            """Undo the class-balanced BCE's probability distortion.
+
+            Balanced training learns q = pβ/(pβ + (1−p)(1−β)) with β = 1−π
+            (π = base rate of reward 1); the planner needs calibrated p for
+            value estimates, so invert: p = qπ/(qπ + (1−q)(1−π)).  Off when
+            mcts_reward_base_rate is unset or the loss wasn't balanced.
+            """
+            pi = cfg.mcts_reward_base_rate
+            if pi <= 0 or not cfg.reward_balanced_loss:
+                return q
+            return q * pi / (q * pi + (1.0 - q) * (1.0 - pi))
+
         @jax.jit
         def _step(params, z, actions, key):
             states, rewards = model.rollout_raw(
                 params, z, actions[:, None], key, 1, False)
-            return states[:, 0], rewards[:, 0]
+            return states[:, 0], _calibrate(rewards[:, 0])
 
         @partial(jax.jit, static_argnames=("horizon",))
         def _evaluate(params, z, key, horizon):
             k_act, k_roll = jax.random.split(key)
             B = z.shape[0]
+            S = max(1, cfg.mcts_eval_samples)
+            if S > 1:
+                # average the return over S SAMPLED rollouts per leaf: mean
+                # rollouts under-represent collision branches in chaotic
+                # states; sampling integrates over the transition noise.
+                # One device call either way (leaf batch tiled by S).
+                z = jnp.repeat(z, S, axis=0)
             actions = jax.random.randint(
-                k_act, (B, horizon), 0, cfg.num_actions)
+                k_act, (B * S, horizon), 0, cfg.num_actions)
             _, rewards = model.rollout_raw(
-                params, z, actions, k_roll, horizon, False)
+                params, z, actions, k_roll, horizon, S > 1)
             disc = cfg.mcts_discount ** jnp.arange(horizon)
-            return jnp.sum(rewards * disc[None, :], axis=1)
+            ret = jnp.sum(_calibrate(rewards) * disc[None, :], axis=1)
+            if S > 1:
+                ret = jnp.mean(ret.reshape(B, S), axis=1)
+            return ret
 
         self._step = _step
         self._evaluate = _evaluate
