@@ -139,6 +139,11 @@ class Config:
     leaf_min_std: float = 0.08             # Gaussian leaf std floor
     leaf_max_std: float = 1.0
     overlap_correction: bool = True        # marginalize already-claimed pixels
+    overlap_impl: str = "patch"            # claim-weight construction:
+    #   patch — coverage edges evaluated directly at patch sample coords
+    #           (no (B,O,H,W) masks / cummax / second glimpse; fastest)
+    #   image — legacy pixel-grid masks + bilinear re-glimpse (round-1
+    #           semantics oracle; same math up to mask interpolation)
     supair_only_epochs: int = 2            # SuPAIR warm-up (re-verify length)
 
     # ---- dynamics / state-space model ------------------------------------
@@ -177,6 +182,9 @@ class Config:
     fused_epoch: bool = True               # scan whole epoch in one jit call
     compute_dtype: str = "float32"         # bfloat16 | float32 for nets
     donate_state: bool = True
+    scan_unroll: int = 1                   # unroll factor for the posterior
+    #   scan (T−2 steps of tiny latency-bound ops; unrolling lets XLA fuse
+    #   across steps and drop loop bookkeeping)
 
     # ---- planning (MCTS) --------------------------------------------------
     mcts_simulations: int = 100

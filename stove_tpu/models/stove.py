@@ -237,7 +237,8 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
 
     with jax.named_scope("stove_scan"):
         _, scanned = jax.lax.scan(
-            step, (z1, m1[..., 2:4], s1[..., 2:4]), xs)
+            step, (z1, m1[..., 2:4], s1[..., 2:4]), xs,
+            unroll=min(max(cfg.scan_unroll, 1), T - 2))
 
     z_all = jnp.concatenate(
         [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)

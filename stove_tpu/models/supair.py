@@ -116,13 +116,58 @@ def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
 
     patches = glimpse.extract_glimpses(frames, boxes, P)      # (B, O, P, P)
 
-    if cfg.overlap_correction and O > 1:
+    if cfg.overlap_correction and O > 1 and cfg.overlap_impl == "patch":
         # pixels claimed by earlier objects are marginalized from later
         # object patches (SURVEY §2.1: overlap/count correction).  The
-        # "claimed before object o" mask is an EXCLUSIVE running max over
-        # the coverage masks — one lax.cummax — and all O claim-glimpses
-        # run as a single batched extraction (the reference's sequential
-        # per-object loop, vectorized; identical math).
+        # claim weights are evaluated DIRECTLY at object o's patch sample
+        # coordinates — the coverage function is separable sigmoid edges,
+        # so no image-space (B, O, H, W) mask tensor, no cummax, and no
+        # second glimpse extraction are needed (those dominated the round-2
+        # train-step profile: every (…, P, P)/(…, O, H, W) intermediate is
+        # HBM-tiled to (8, 128) with ~20× padding).  Same math as the
+        # "image" path below up to bilinear-vs-exact mask interpolation.
+        g = jnp.linspace(-1.0, 1.0, P, dtype=boxes.dtype)
+        u = boxes[..., 2:3] + boxes[..., 0:1] * g             # (B, O, P) x
+        v = boxes[..., 3:4] + boxes[..., 1:2] * g             # (B, O, P) y
+        sx, sy = boxes[..., 0], boxes[..., 1]
+        tx, ty = boxes[..., 2], boxes[..., 3]
+
+        def edge(t, s, c, sharpness=8.0):
+            # same separable sigmoid edge as glimpse.box_coverage
+            return jax.nn.sigmoid(sharpness * (s - jnp.abs(c - t))
+                                  / jnp.maximum(s, 1e-3))
+
+        # claimed-before-o = max over j < o of box-j coverage at o's OWN
+        # sample coordinates.  Unrolled over the static (j, o) pairs so each
+        # rank-1 outer product ey⊗ex fuses straight into the max/clip chain
+        # — the one-shot (B, O, O, P, P) tensor would tile-pad ~20× in HBM.
+        ey = edge(ty[:, :, None, None], sy[:, :, None, None],
+                  v[:, None])                                  # (B, J, O, P)
+        ex = edge(tx[:, :, None, None], sx[:, :, None, None], u[:, None])
+        ws = [jnp.ones((B, P, P), frames.dtype)]
+        for o in range(1, O):
+            claimed = ey[:, 0, o, :, None] * ex[:, 0, o, None, :]
+            for j in range(1, o):
+                claimed = jnp.maximum(
+                    claimed, ey[:, j, o, :, None] * ex[:, j, o, None, :])
+            ws.append(jnp.clip(1.0 - claimed, 0.0, 1.0))
+        patch_w = jnp.stack(ws, axis=1)                        # (B, O, P, P)
+        # background visibility: 1 − max_o cover_o on the pixel grid, again
+        # as an unrolled max over rank-1 products (no (B, O, H, W) tensor)
+        coord = jnp.linspace(-1.0, 1.0, cfg.img_size, dtype=boxes.dtype)
+        by = edge(ty[:, :, None], sy[:, :, None], coord)       # (B, O, H)
+        bx = edge(tx[:, :, None], sx[:, :, None], coord)       # (B, O, W)
+        cover_max = by[:, 0, :, None] * bx[:, 0, None, :]
+        for o in range(1, O):
+            cover_max = jnp.maximum(
+                cover_max, by[:, o, :, None] * bx[:, o, None, :])
+        bg_vis = 1.0 - cover_max                               # (B, H, W)
+    elif cfg.overlap_correction and O > 1:
+        # legacy image-space construction (round-1): pixel-grid coverage
+        # masks, exclusive running max via lax.cummax, claim weights
+        # bilinearly re-glimpsed at each box.  Kept as the semantics oracle
+        # for the patch-space path (tests/test_models.py) — ~20% slower
+        # end-to-end.
         H = cfg.img_size
         cover = glimpse.box_coverage(boxes, H)                # (B, O, H, W)
         cum = jax.lax.cummax(cover, axis=1)
