@@ -257,7 +257,12 @@ class Trainer:
         return self.state._replace(key=key), sub
 
     def evaluate(self, epoch: int) -> Dict[str, float]:
-        self.state, key = self._next_key()
+        # eval key from its own stream (fold_in on the step), NOT from the
+        # training key chain — otherwise eval_every changes the window
+        # sampling of every later training step and runs with different
+        # eval cadence are not comparable
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed + 7919),
+                                 int(self.state.step))
         m = eval_lib.rollout_metrics(self.model, self.state.params,
                                      self.test_ep, key)
         if not getattr(self, "_baselines_logged", False):

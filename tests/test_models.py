@@ -160,6 +160,20 @@ class TestStove:
         assert out.inferred.z.shape == (3, cfgm.window, cfgm.num_obj,
                                         cfgm.full_state_dim)
 
+    def test_scan_unroll_invariant(self, cfgm, setup):
+        """Unrolling the posterior scan is a scheduling choice, not a
+        semantic one: identical outputs for unroll 1 vs full."""
+        specs, params = setup
+        frames = jax.random.uniform(jax.random.key(9),
+                                    (2, cfgm.window, 32, 32))
+        outs = [stove_lib.infer(params, cfgm.with_overrides(scan_unroll=u),
+                                specs, frames, None, jax.random.key(3))
+                for u in (1, cfgm.window)]
+        np.testing.assert_allclose(outs[0].z, outs[1].z, rtol=2e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(outs[0].kl, outs[1].kl, rtol=2e-5,
+                                   atol=1e-5)
+
     def test_align_slots(self):
         ref = jnp.array([[[0.0, 0.0], [1.0, 1.0], [-1.0, -1.0]]])
         new = jnp.array([[[1.1, 1.0], [-0.9, -1.0], [0.1, 0.0]]])
