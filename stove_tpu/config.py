@@ -126,6 +126,8 @@ class Config:
     encoder_mlp_hidden: int = 256
     encoder_space_to_depth: int = 1        # s: fold s×s pixel blocks into
     #   channels before the conv stack (MXU efficiency; 1 = off)
+    encoder_final_stride1: bool = False    # last conv at stride 1: keeps a
+    #   finer final feature grid (position precision) at slightly more FLOPs
     min_enc_std: float = 0.01              # floor on q_sup stds
     max_enc_std: float = 0.3
     obj_spn_num_sums: int = 10             # RAT-SPN S per region (re-verify)

@@ -40,10 +40,12 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     s2d = max(1, cfg.encoder_space_to_depth)
     cin = cfg.channels * s2d * s2d
     size = cfg.img_size // s2d
+    n_convs = len(cfg.encoder_channels)
     for i, cout in enumerate(cfg.encoder_channels):
         params["convs"].append(_conv_init(keys[i], 3, 3, cin, cout))
         cin = cout
-        size = (size + 1) // 2  # stride-2
+        if not (cfg.encoder_final_stride1 and i == n_convs - 1):
+            size = (size + 1) // 2  # stride-2
     flat = size * size * cin
     params["mlp1"] = _dense_init(keys[-3], flat, cfg.encoder_mlp_hidden, 2.0)
     params["mlp2"] = _dense_init(keys[-2], cfg.encoder_mlp_hidden,
@@ -78,12 +80,15 @@ def apply(params: Dict, cfg: Config, frames: jnp.ndarray
         x = x.reshape(B, H // s2d, s2d, W // s2d, s2d, C)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
             B, H // s2d, W // s2d, s2d * s2d * C)
-    for conv in params["convs"]:
+    n_convs = len(params["convs"])
+    for i, conv in enumerate(params["convs"]):
         # operands in cd; MXU accumulates f32 internally.  No
         # preferred_element_type here: its transpose (backward) rejects the
         # mixed bf16-operand/f32-cotangent combination.
+        stride = (1, 1) if (cfg.encoder_final_stride1
+                            and i == n_convs - 1) else (2, 2)
         x = jax.lax.conv_general_dilated(
-            x, conv["w"].astype(cd), window_strides=(2, 2), padding="SAME",
+            x, conv["w"].astype(cd), window_strides=stride, padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = jax.nn.relu(x.astype(jnp.float32) + conv["b"]).astype(cd)
     x = x.reshape(x.shape[0], -1)
