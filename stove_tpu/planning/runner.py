@@ -155,4 +155,14 @@ def run_planning(cfg: Config, params=None) -> Dict[str, float]:
         print(f"[plan] {name}: mean={out[f'{name}_mean_reward']:.2f} "
               f"± {out[f'{name}_std']:.2f} over {cfg.mcts_episodes} "
               f"episodes", flush=True)
+    # paired statistics: with common random numbers the per-episode
+    # (model − oracle) difference cancels init-to-init variance, giving a
+    # far tighter estimate of the true gap than the marginal stds
+    gap = np.asarray(scores["model"]) - np.asarray(scores["oracle"])
+    out["model_oracle_gap_mean"] = float(np.mean(gap))
+    out["model_oracle_gap_sem"] = float(np.std(gap) /
+                                        np.sqrt(max(len(gap), 1)))
+    print(f"[plan] paired model−oracle gap: {out['model_oracle_gap_mean']:.2f}"
+          f" ± {out['model_oracle_gap_sem']:.2f} (SEM, n={len(gap)})",
+          flush=True)
     return out
