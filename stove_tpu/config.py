@@ -162,6 +162,12 @@ class Config:
     velocity_obs_full_std: bool = True     # q(v) obs std: propagate both
     #   frames' encoder position stds (sqrt(ss_t² + ss_{t−1}²)); False keeps
     #   the t-frame std only (round-1 behavior; A/B'd in RESULTS.md)
+    velocity_obs: str = "encoder"          # q(v)'s observation source:
+    #   encoder  — difference of raw encoder position means (original)
+    #   filtered — difference of the POSTERIOR position means (the filtered
+    #              positions are ~2× more accurate than raw encoder output,
+    #              so their difference is a strictly better velocity
+    #              observation; measured 0.0117 vs 0.0169 rms at handoff)
     size_std: float = 0.01                 # carried-size transition std
     overshoot_k: int = 0                   # latent overshooting horizon (0=off)
     overshoot_weight: float = 1.0          # weight of the k-step position loss

