@@ -58,6 +58,13 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
 
     se = jnp.sum((pred_matched - true) ** 2, axis=-1)          # (B, T, O)
     mse_per_step = jnp.mean(se, axis=(0, 2))                   # (T,)
+    # handoff velocity error: the low-variance diagnostic for the velocity
+    # posterior (rollout mse@8 is chaos-dominated and spans ±2× with the
+    # seed at small budgets; this rms averages cleanly over B·O·2)
+    true_vel = (ep.states[:B, t_cond - 1, :, :2]
+                - ep.states[:B, t_cond - 2, :, :2]) / cfg.arena_size
+    pred_vel = matching.apply_permutation(
+        inf.z_mean[:, -1, :, 4:6] * 0.5, perm)  # model [-1,1] → [0,1] units
     out = {
         "mse_per_step": mse_per_step,
         "mse_mean": jnp.mean(mse_per_step),
@@ -65,6 +72,7 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
         "detect_mse": jnp.mean(jnp.sum(
             (matching.apply_permutation(last_inferred, perm)
              - true_handoff) ** 2, -1)),
+        "handoff_vel_rms": jnp.sqrt(jnp.mean((pred_vel - true_vel) ** 2)),
     }
     if cfg.action_conditioned:
         true_r = ep.rewards[:B, t_cond - 1: t_cond - 1 + t_pred]
