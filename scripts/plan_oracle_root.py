@@ -61,7 +61,7 @@ def run_episode_true_posvel(cfg, model, params, planner, env, key):
         window = jnp.asarray(np.stack(frames[-W:]))[None]
         inf = model.infer(params, normalize_frames(window),
                           jnp.asarray(actions[-W:])[None], k_inf)
-        z = np.asarray(inf.z_mean[0, -1])                  # (O, 6+cl)
+        z = np.array(inf.z_mean[0, -1])                    # (O, 6+cl) copy
         true_pos = np.asarray(env_state.pos) / cfg.arena_size * 2.0 - 1.0
         true_vel = np.asarray(env_state.vel) / cfg.arena_size * 2.0
         perm = np.asarray(matching.match_positions(
