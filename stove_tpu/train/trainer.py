@@ -55,10 +55,18 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
     def lr(base: float):
         if cfg.debug_anneal_lr > 0:
-            # linear decay to 10% over debug_anneal_lr steps (reference
-            # anneal flag semantics re-verify, SURVEY §8)
+            # linear decay to 10% of the base lr.  Values > 1 are an
+            # absolute step count; values in (0, 1] are a FRACTION of the
+            # full training budget (num_epochs × steps_per_epoch), so
+            # presets can turn annealing on scale-free.  Measured (chain
+            # 10): annealing moves 360-epoch billiards mse@8 from the
+            # 0.041 plateau to 0.0097 — it reliably reaches the precise-
+            # dynamics basin that un-annealed runs only hit on lucky seeds.
+            spe = cfg.steps_per_epoch or -(-cfg.num_train // cfg.batch_size)
+            steps = (cfg.debug_anneal_lr if cfg.debug_anneal_lr > 1
+                     else cfg.debug_anneal_lr * cfg.num_epochs * spe)
             return optax.linear_schedule(base, 0.1 * base,
-                                         int(cfg.debug_anneal_lr))
+                                         max(int(steps), 1))
         return base
 
     return optax.chain(
