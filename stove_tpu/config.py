@@ -212,6 +212,10 @@ class Config:
     #   corpus; >0 undoes the balanced-BCE probability distortion in the
     #   planner's value estimates (calibration; 0 = off)
     mcts_virtual_loss: float = 1.0         # selection diversification weight
+    mcts_reward_temp: float = 1.0          # >1: soften reward probabilities
+    #   (sigmoid(logit(p)/T)) in the planner's value estimates — a sharp
+    #   head's near-binary predictions make branch values flip on small
+    #   open-loop errors; smoothing grades them by collision risk
 
     # ------------------------------------------------------------------ api
     def with_overrides(self, *kv: str, **kwargs) -> "Config":

@@ -42,9 +42,13 @@ class LearnedSimulator(Simulator):
             mcts_reward_base_rate is unset or the loss wasn't balanced.
             """
             pi = cfg.mcts_reward_base_rate
-            if pi <= 0 or not cfg.reward_balanced_loss:
-                return q
-            return q * pi / (q * pi + (1.0 - q) * (1.0 - pi))
+            if pi > 0 and cfg.reward_balanced_loss:
+                q = q * pi / (q * pi + (1.0 - q) * (1.0 - pi))
+            if cfg.mcts_reward_temp != 1.0:
+                eps = 1e-6
+                logit = jnp.log(q + eps) - jnp.log1p(-q + eps)
+                q = jax.nn.sigmoid(logit / cfg.mcts_reward_temp)
+            return q
 
         @jax.jit
         def _step(params, z, actions, key):
