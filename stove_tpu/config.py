@@ -157,6 +157,10 @@ class Config:
     action_conditioned: bool = False
     reward_head: bool = True               # only used when action_conditioned
     reward_balanced_loss: bool = True      # inverse-frequency class weights
+    reward_label_smooth: float = 0.0       # BCE label smoothing s:
+    #   targets t → t(1−s)+s/2. Keeps the head's probabilities graded —
+    #   near-binary predictions make MCTS branch values flip on small
+    #   open-loop errors (planning anti-correlates with head sharpness)
     min_dyn_std: float = 0.01
     max_dyn_std: float = 0.3
     latent_residual: bool = True           # ℓ_t = ℓ_{t-1} + Δℓ vs direct

@@ -290,12 +290,15 @@ class ElboOut(NamedTuple):
 
 
 def _balanced_bce(pred: jnp.ndarray, target: jnp.ndarray,
-                  balanced: bool) -> jnp.ndarray:
+                  balanced: bool, label_smooth: float = 0.0) -> jnp.ndarray:
     """Binary cross-entropy; optionally inverse-frequency class-weighted
-    (collisions are rare, so an unweighted head collapses to the base rate)."""
+    (collisions are rare, so an unweighted head collapses to the base rate)
+    and label-smoothed (keeps the head's probabilities graded — see
+    Config.reward_label_smooth).  Class weights use the HARD labels."""
     eps = 1e-6
-    bce = -(target * jnp.log(pred + eps)
-            + (1 - target) * jnp.log(1 - pred + eps))
+    soft = target * (1.0 - label_smooth) + 0.5 * label_smooth
+    bce = -(soft * jnp.log(pred + eps)
+            + (1 - soft) * jnp.log(1 - pred + eps))
     if balanced:
         pos_rate = jnp.clip(jnp.mean(target), 0.05, 0.95)
         w = jnp.where(target > 0.5, 0.5 / pos_rate, 0.5 / (1.0 - pos_rate))
@@ -367,7 +370,8 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
             # t+k−1 (pre-step layout, see envs/data.py)
             r_tgt = jax.lax.dynamic_slice_in_dim(rewards, k - 1, S, axis=1)
             total_rew = total_rew + _balanced_bce(
-                dyn.reward.reshape(B, S), r_tgt, cfg.reward_balanced_loss)
+                dyn.reward.reshape(B, S), r_tgt, cfg.reward_balanced_loss,
+                cfg.reward_label_smooth)
     return total_pos / K, total_rew / K
 
 
@@ -395,7 +399,8 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     if cfg.action_conditioned and rewards is not None:
         # r̂ at scan step t predicts the env reward of transition t−1 → t
         reward_loss = _balanced_bce(inf.rewards[:, 2:], rewards[:, 1:T - 1],
-                                    cfg.reward_balanced_loss)
+                                    cfg.reward_balanced_loss,
+                                    cfg.reward_label_smooth)
     else:
         reward_loss = jnp.zeros((), frames.dtype)
 
