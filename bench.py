@@ -57,7 +57,7 @@ def measure_baseline() -> float:
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
 
 
-def bench_train_step(dtype: str, spn_impl: str = "matmul",
+def bench_train_step(dtype: str, spn_impl: str = "dense",
                      batch: int = 1024) -> dict:
     """Full ELBO train-step throughput (windows/sec) + FLOPs/window + MFU.
 
@@ -126,10 +126,10 @@ def main() -> int:
         for a in sys.argv:
             if a.startswith("--batch="):
                 batch = int(a.split("=")[1])
-        impls = (("float32", "matmul"), ("float32", "dense"),
-                 ("bfloat16", "matmul"))
+        impls = (("float32", "dense"), ("float32", "matmul"),
+                 ("bfloat16", "dense"))
         if "--quick" in sys.argv:
-            impls = (("float32", "matmul"),)
+            impls = (("float32", "dense"),)
         for dtype, impl in impls:
             m = bench_train_step(dtype, impl, batch)
             print(f"train step ({dtype}, spn={impl}, B={batch}): "

@@ -187,10 +187,13 @@ class Config:
     # ---- parallelism / performance ---------------------------------------
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
-    spn_impl: str = "matmul"               # SPN evaluation path:
+    spn_impl: str = "dense"                # SPN evaluation path:
+    #   dense  — layerwise einsum stack (golden-oracle shape; fastest once
+    #            the patch-space overlap correction removed the mask
+    #            tensors: 67.5k vs 58.4k windows/s at B=1024, measured
+    #            interleaved best-of-3)
     #   matmul — leaf stage folded into 3 MXU matmuls (no (B,R,V,I)
-    #            intermediates; fastest, default)
-    #   dense  — layerwise einsum stack (golden-oracle shape)
+    #            intermediates; was fastest in the round-2 first pass)
     #   pallas — fused VMEM-resident kernel (forward; XLA-dense backward);
     #            falls back to matmul where Mosaic can't run (logged once)
     fused_epoch: bool = True               # scan whole epoch in one jit call
