@@ -65,7 +65,7 @@ def main():
     from stove_tpu.ops import glimpse as glimpse_lib
 
     cfg = Config().with_overrides(
-        spn_impl=os.environ.get("PB_SPN", "matmul"),
+        spn_impl=os.environ.get("PB_SPN", "dense"),  # match repo default
         encoder_space_to_depth=int(os.environ.get("PB_S2D", "1")),
         overlap_impl=os.environ.get("PB_OVERLAP", "patch"))
     specs = stove_lib.make_specs(jax.random.key(0), cfg)

@@ -104,7 +104,8 @@ class Config:
     window: int = 8                        # T: frames per training window
     batch_size: int = 256
     num_epochs: int = 400
-    steps_per_epoch: int = 0               # 0 → ceil(num_train / batch)
+    steps_per_epoch: int = 0               # 0 → max(1, num_train // batch)
+    #   (floor; matches Trainer.steps_per_epoch AND the anneal schedule)
     eval_every: int = 1                    # epochs between evals
     ckpt_every: int = 5                    # epochs between checkpoints
     eval_rollout_steps: int = 8            # prediction horizon for eval MSE
@@ -116,9 +117,15 @@ class Config:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip: float = 10.0
-    debug_anneal_lr: float = 0.0           # >0: linear lr decay to 10%;
+    debug_anneal_lr: float = 0.0           # >0: lr decay to anneal_final;
     #   >1 = absolute steps, (0,1] = fraction of the full training budget.
-    #   On by default in presets (1.0): see _PRESET_COMMON
+    #   On by default in presets (1.0): see _PRESET_COMMON.
+    #   NOTE (restore compatibility): turning annealing on/off changes the
+    #   optax opt_state pytree (schedule-count leaves), so resuming a run
+    #   recorded under a different setting requires loading the run dir's
+    #   config.json (main.py restore= does this) rather than a fresh preset.
+    anneal_shape: str = "linear"           # linear | cosine decay shape
+    anneal_final: float = 0.1              # final lr as a fraction of base
 
     # ---- SuPAIR recognition ----------------------------------------------
     patch_size: int = 10                   # ph = pw (SURVEY: ≈10x10)
@@ -157,6 +164,12 @@ class Config:
     action_conditioned: bool = False
     reward_head: bool = True               # only used when action_conditioned
     reward_balanced_loss: bool = True      # inverse-frequency class weights
+    reward_pos_rate: float = 0.0           # corpus-level P(reward = 1) used
+    #   for the balanced-BCE class weights AND as the planner's calibration
+    #   prior.  0 = unset: the Trainer measures it from the training corpus
+    #   once at startup and persists it into the run config, so per-batch
+    #   estimates (high-variance at realistic collision rates) are never
+    #   used at reference scale (VERDICT r2 weak #5)
     reward_label_smooth: float = 0.0       # BCE label smoothing s:
     #   targets t → t(1−s)+s/2. Keeps the head's probabilities graded —
     #   near-binary predictions make MCTS branch values flip on small

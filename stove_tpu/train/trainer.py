@@ -42,6 +42,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def anneal_steps(cfg: Config) -> int:
+    """Length of the lr-anneal schedule in optimizer steps.
+
+    Uses the SAME floor formula as Trainer.steps_per_epoch so the schedule
+    spans exactly the run (round-2 advisor: a ceil here made preset runs end
+    at ~33% of base lr instead of the documented anneal_final)."""
+    spe = cfg.steps_per_epoch or max(1, cfg.num_train // cfg.batch_size)
+    return max(int(cfg.debug_anneal_lr if cfg.debug_anneal_lr > 1
+                   else cfg.debug_anneal_lr * cfg.num_epochs * spe), 1)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam with separate lrs for supair vs dynamics + global-norm clip
     (reference: two parameter groups [ref: train.py optimizer setup])."""
@@ -55,18 +66,19 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
     def lr(base: float):
         if cfg.debug_anneal_lr > 0:
-            # linear decay to 10% of the base lr.  Values > 1 are an
-            # absolute step count; values in (0, 1] are a FRACTION of the
-            # full training budget (num_epochs × steps_per_epoch), so
-            # presets can turn annealing on scale-free.  Measured (chain
-            # 10): annealing moves 360-epoch billiards mse@8 from the
-            # 0.041 plateau to 0.0097 — it reliably reaches the precise-
-            # dynamics basin that un-annealed runs only hit on lucky seeds.
-            spe = cfg.steps_per_epoch or -(-cfg.num_train // cfg.batch_size)
-            steps = (cfg.debug_anneal_lr if cfg.debug_anneal_lr > 1
-                     else cfg.debug_anneal_lr * cfg.num_epochs * spe)
-            return optax.linear_schedule(base, 0.1 * base,
-                                         max(int(steps), 1))
+            # decay to anneal_final × base.  Values > 1 are an absolute
+            # step count; values in (0, 1] are a FRACTION of the full
+            # training budget (num_epochs × steps_per_epoch), so presets
+            # can turn annealing on scale-free.  Measured (chain 10):
+            # annealing moves 360-epoch billiards mse@8 from the 0.041
+            # plateau to 0.0097 — it reliably reaches the precise-dynamics
+            # basin that un-annealed runs only hit on lucky seeds.
+            steps = anneal_steps(cfg)
+            if cfg.anneal_shape == "cosine":
+                return optax.cosine_decay_schedule(
+                    base, steps, alpha=cfg.anneal_final)
+            return optax.linear_schedule(base, cfg.anneal_final * base,
+                                         steps)
         return base
 
     return optax.chain(
@@ -90,12 +102,22 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = run_dir or os.path.join(cfg.run_dir, cfg.run_name)
         self.logger = MetricsLogger(None if cfg.nolog else self.run_dir)
-        if not cfg.nolog:
-            ckpt_lib.save_config(self.run_dir, cfg)
 
         # data (generated on demand; stays on device as uint8)
         self.train_ep = data_lib.ensure_dataset(cfg, "train")
         self.test_ep = data_lib.ensure_dataset(cfg, "test")
+
+        if (cfg.action_conditioned and cfg.reward_balanced_loss
+                and cfg.reward_pos_rate == 0.0):
+            # corpus-level class prior for the balanced BCE + planner
+            # calibration: per-batch estimates are high-variance at
+            # realistic collision rates (a few % over B windows × 6 steps).
+            # Persisted into the run config so eval/planning see the same π.
+            rate = float(jnp.mean(self.train_ep.rewards))
+            cfg = self.cfg = cfg.with_overrides(
+                reward_pos_rate=round(rate, 6))
+        if not cfg.nolog:
+            ckpt_lib.save_config(self.run_dir, cfg)
 
         # model + optimizer
         self.model = StoveModel(cfg)

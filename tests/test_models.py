@@ -200,6 +200,7 @@ class TestStove:
                 np.asarray(stove_lib._exact_assignment(cost)),
                 np.asarray(stove_lib._greedy_assignment(cost)))
 
+    @pytest.mark.slow
     def test_o6_elbo_and_grad(self, cfgm):
         """O=6 exercises the greedy slot-alignment path end-to-end."""
         cfg = cfgm.with_overrides(num_obj=6)

@@ -125,6 +125,33 @@ class TestDataParallelTrainer:
                     err_msg=f"metric {k} diverges between 8- and 1-device "
                             f"meshes")
 
+    def test_second_mesh_axis_unused(self, tmp_path):
+        """SURVEY §5.8: a second mesh axis must be addable without touching
+        call sites.  A (4, 2) ('data', 'model') mesh with 'model' unused
+        trains with metrics matching the 1-D 8-device mesh."""
+        from stove_tpu.train.trainer import Trainer
+
+        common = dict(
+            data_dir=str(tmp_path / "d"), run_dir=str(tmp_path / "r"),
+            batch_size=8, num_epochs=2, steps_per_epoch=2, eval_every=99,
+            ckpt_every=99, supair_only_epochs=0, nolog=True)
+        cfg2d = Config().debug_shrunk().with_overrides(
+            mesh_shape=(4, 2), mesh_axes=("data", "model"), **common)
+        cfg1d = cfg2d.with_overrides(mesh_shape=(8,), mesh_axes=("data",))
+
+        t2d = Trainer(cfg2d)
+        assert t2d.mesh.devices.shape == (4, 2)
+        assert t2d.mesh.axis_names == ("data", "model")
+        m2d = [t2d.train_epoch(e) for e in range(2)]
+        t1d = Trainer(cfg1d)
+        m1d = [t1d.train_epoch(e) for e in range(2)]
+        for a, b in zip(m2d, m1d):
+            for k in a:
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=5e-3, atol=1e-5,
+                    err_msg=f"metric {k} diverges between (4,2) and (8,) "
+                            f"meshes")
+
     def test_restore_preserves_replication(self, tmp_path):
         """Resume under DP must re-replicate the restored state."""
         from stove_tpu.train.trainer import Trainer
