@@ -1,0 +1,84 @@
+"""Pre-registered gravity stability protocol (VERDICT r2 #5).
+
+Rule (registered BEFORE the round-3 runs): for each seed, select the
+checkpoint whose VALIDATION-half mean-rollout speed_ratio is closest to 1.0
+(validation = first half of the test sequences, the quantity logged as
+`val_speed_ratio` during training); then report, on the held-out TEST half
+(sequences [N/2:]), the mean-rollout and sampled-rollout 80-step stability
+and rollout mse@8.  Success: >=4/5 seeds with test mean-ratio in [0.8, 1.2];
+for the open-loop-sigma claim (VERDICT #3): sampled ratio <= 1.3.
+
+Usage: python scripts/grav_select.py runs/r3g_grav_s20 [more runs...]
+"""
+import glob
+import json
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+from stove_tpu.envs import data as data_lib  # noqa: E402
+from stove_tpu.models.bundle import StoveModel  # noqa: E402
+from stove_tpu.train import checkpoint as ckpt_lib  # noqa: E402
+from stove_tpu.train import evaluate as eval_lib  # noqa: E402
+
+
+def main():
+    runs = sys.argv[1:]
+    results = {}
+    for run in runs:
+        cfg = ckpt_lib.load_config(run)
+        model = StoveModel(cfg)
+        tpl = {"params": model.init_params()}
+        test_ep = data_lib.ensure_dataset(cfg, "test")
+        n_val = test_ep.frames.shape[0] // 2
+        val_ep = jax.tree_util.tree_map(lambda x: x[:n_val], test_ep)
+        held_ep = jax.tree_util.tree_map(lambda x: x[n_val:], test_ep)
+
+        best = None
+        ckpts = sorted(glob.glob(os.path.join(run, "ckpt_*.npz")))
+        for ck in ckpts:
+            step = int(os.path.basename(ck).split("_")[1].split(".")[0])
+            _, loaded = ckpt_lib.restore(run, tpl, step=step)
+            params = loaded["params"]
+            lh = eval_lib.longhorizon_metrics(
+                model, params, val_ep, jax.random.key(101), t_pred=80)
+            ratio = float(lh["speed_ratio"])
+            score = abs(np.log(max(ratio, 1e-6)))
+            print(f"[{run}] step {step}: val ratio {ratio:.3f}", flush=True)
+            if best is None or score < best["score"]:
+                best = {"step": step, "score": score, "val_ratio": ratio,
+                        "params": params}
+
+        params = best.pop("params")
+        lh_m = eval_lib.longhorizon_metrics(
+            model, params, held_ep, jax.random.key(202), t_pred=80)
+        lh_s = eval_lib.longhorizon_metrics(
+            model, params, held_ep, jax.random.key(303), t_pred=80,
+            sample=True)
+        rm = eval_lib.rollout_metrics(model, params, held_ep,
+                                      jax.random.key(404))
+        results[run] = {
+            **best,
+            "test_ratio_mean": float(lh_m["speed_ratio"]),
+            "test_in_frame_mean": float(lh_m["frac_in_frame"]),
+            "test_ratio_sampled": float(lh_s["speed_ratio"]),
+            "test_in_frame_sampled": float(lh_s["frac_in_frame"]),
+            "test_mse8": float(rm["mse_final"]),
+            "test_vel_rms": float(rm["handoff_vel_rms"]),
+        }
+        print(f"[{run}] SELECTED step {best['step']}: "
+              f"test mean-ratio {results[run]['test_ratio_mean']:.3f} "
+              f"sampled-ratio {results[run]['test_ratio_sampled']:.3f} "
+              f"mse@8 {results[run]['test_mse8']:.4f}", flush=True)
+        with open("runs/grav_select.json", "w") as f:
+            json.dump(results, f, indent=1)
+    print("wrote runs/grav_select.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 queue 3: planning experiments (VERDICT r2 #1 and #7).
+#  a) corpus-level balanced-BCE retrain of the dense-2k flagship (treatment;
+#     the control is the existing r2a_dense2k checkpoint trained with
+#     per-batch weights)
+#  b) search-budget scaling sweep for the accuracy<->planning study, on the
+#     most-accurate (r2a_dense2k / r3d_dense2k) and least-accurate-but-best-
+#     planning (r2_dense4) models, 40 CRN episodes each (lockstep-batched)
+set -u
+cd /root/repo
+DENSE="preset=avoidance_dense num_train=2000 num_epochs=400 \
+steps_per_epoch=20 window=12 overshoot_k=8 eval_every=100 ckpt_every=200 \
+fused_epoch=false"
+
+echo "=== r3d_dense2k (corpus-BCE) $(date +%H:%M:%S) ==="
+timeout 1800 python -m stove_tpu.main $DENSE seed=0 \
+  run_name=r3d_dense2k 2>&1 | tail -2
+
+echo "=== budget sweep r2a_dense2k $(date +%H:%M:%S) ==="
+timeout 5400 python scripts/plan_budget_sweep.py runs/r2a_dense2k 40 2>&1 | tail -30
+echo "=== budget sweep r2_dense4 $(date +%H:%M:%S) ==="
+timeout 5400 python scripts/plan_budget_sweep.py runs/r2_dense4 40 2>&1 | tail -30
+echo "=== queue3 done $(date +%H:%M:%S) ==="

@@ -52,6 +52,14 @@ class StoveModel:
             return supair_lib.elbo(params["supair"], cfg_, specs_.supair,
                                    frames, key)
 
+        # per-episode inference for lockstep planning: vmap over an episode
+        # axis with one key per episode (B stays the per-episode batch, so
+        # results are identical to separate infer calls)
+        self.infer_each = jax.jit(jax.vmap(
+            lambda params, frames, actions, key: stove_lib.infer(
+                params, cfg_, specs_, frames, actions, key),
+            in_axes=(None, 0, 0, 0)))
+
         self.elbo = _elbo
         self.infer = _infer
         self.rollout = _rollout

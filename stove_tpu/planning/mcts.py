@@ -7,44 +7,64 @@ rewards, backup of mean value.  The simulator is pluggable: the learned STOVE
 rollout or the true environment.
 
 TPU redesign (the reference evaluates simulations serially, SURVEY §3.4
-"embarrassingly batchable"): when a leaf is reached we expand **all** A
-children at once and evaluate all of them with **one** batched jitted
-H-step rollout — one device call per tree visit instead of A·(H+1).  Batch
-shapes are fixed (A children, H horizon), so everything hits the same
-compiled executable.
+"embarrassingly batchable"):
 
-The tree itself lives on host (python objects, numpy stats) — it is tiny;
-the device only ever sees fixed-shape batches.
+* **Frontier batching** — when leaves are reached, ALL `mcts_frontier` (K)
+  leaves × A children are expanded and evaluated with ONE batched jitted
+  H-step rollout: one device call per tree round instead of A·(H+1).
+* **Lockstep episode batching** (`MCTSLockstep`) — E independent searches
+  (one per evaluation episode) advance in lockstep, merging their K·A
+  frontiers into one (E, K·A) device call per round.  Planning evaluation
+  episodes are fully independent, so this multiplies the batch by E with
+  zero interaction — the round-2 planning evals paid 3×40×40 serial MCTS
+  calls over a ~ms-latency tunnel for exactly this workload.
+
+The trees live on host as python objects with **numpy** states — the device
+only ever sees fixed-shape batches, and each round does exactly one
+device→host transfer (the stacked children), so tree bookkeeping costs no
+device round-trips.
 """
 
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from stove_tpu.config import Config
 
 
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
 class Simulator:
     """Pluggable simulator interface (learned model or true env).
 
-    States are opaque pytrees whose leaves have a leading batch dim.
+    States are pytrees whose leaves have leading batch dims.  `step` /
+    `evaluate` take a (B, ...) batch; `step_many` / `evaluate_many` take an
+    (E, B, ...) batch with one PRNG key per episode (lockstep mode) and are
+    per-episode-identical to E separate `step`/`evaluate` calls.
     """
 
     num_actions: int
 
-    def step(self, states, actions: jnp.ndarray, key) -> Tuple[object, jnp.ndarray]:
-        """Batched one-step transition: (states[B], actions[B]) →
-        (next_states[B], rewards[B])."""
+    def step(self, states, actions, key):
+        """(states[B], actions[B]) → (next_states[B], rewards[B])."""
         raise NotImplementedError
 
-    def evaluate(self, states, key, horizon: int) -> jnp.ndarray:
-        """Batched return estimate: roll `horizon` steps, sum rewards →
-        (B,)."""
+    def evaluate(self, states, key, horizon: int):
+        """Roll `horizon` steps, sum discounted rewards → (B,)."""
+        raise NotImplementedError
+
+    def step_many(self, states, actions, keys):
+        """(states[E,B], actions[E,B], keys[E]) → (next[E,B], rewards[E,B])."""
+        raise NotImplementedError
+
+    def evaluate_many(self, states, keys, horizon: int):
+        """(states[E,B], keys[E]) → returns (E, B)."""
         raise NotImplementedError
 
 
@@ -52,7 +72,7 @@ class _Node:
     __slots__ = ("state", "reward", "children", "N", "W")
 
     def __init__(self, state, reward: float = 0.0):
-        self.state = state          # host-side pytree slice (leading dim 1)
+        self.state = state          # host-side numpy pytree (leading dim 1)
         self.reward = reward        # transition reward from the parent
         self.children: Optional[List["_Node"]] = None
         self.N = 0
@@ -69,93 +89,194 @@ def _ucb(node: _Node, child: _Node, c: float) -> float:
     return child.value + c * math.sqrt(math.log(node.N) / child.N)
 
 
+class _Search:
+    """One tree's in-flight search state (host side)."""
+
+    __slots__ = ("root", "visits", "n_sim", "leaves", "paths")
+
+    def __init__(self, root_state, n_sim: int):
+        # root state arrives as a device or host pytree, unbatched
+        self.root = _Node(jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[None], root_state))
+        self.visits = 0
+        self.n_sim = n_sim
+        self.leaves: List[_Node] = []
+        self.paths: List[List[_Node]] = []
+
+    @property
+    def done(self) -> bool:
+        return self.visits >= self.n_sim
+
+
 class MCTS:
-    """UCT with batched expansion+evaluation (one device call per visit)."""
+    """UCT with batched expansion+evaluation (one device call per round)."""
 
     def __init__(self, sim: Simulator, cfg: Config):
         self.sim = sim
         self.cfg = cfg
 
-    def run(self, root_state, key: jax.Array,
-            n_simulations: Optional[int] = None) -> Tuple[int, np.ndarray]:
-        """Search from root_state (unbatched pytree).  Returns (best action,
-        visit counts).
-
-        Frontier batching: `mcts_frontier` (K) leaves are selected per
-        iteration under a virtual loss (their paths' visit counts are
-        pre-incremented and a pessimistic value is charged so consecutive
-        selections diverge), then ALL K·A children are expanded and evaluated
-        in a single fixed-shape device call — K·A rollouts per round-trip
-        instead of the reference's one [ref: model/mcts/mcts.py serial
-        evaluation; SURVEY §3.4]."""
+    # ---------------------------------------------------------------- rounds
+    def _select_round(self, search: _Search) -> int:
+        """Select up to K distinct leaves under a virtual loss (paths' visit
+        counts pre-incremented, pessimistic value charged, so consecutive
+        selections diverge).  Fills search.leaves/paths; returns k."""
         cfg = self.cfg
         A = self.sim.num_actions
         K = max(1, cfg.mcts_frontier)
-        n_sim = n_simulations or cfg.mcts_simulations
+        root = search.root
+        search.leaves, search.paths = [], []
+        for _ in range(K):
+            path = [root]
+            node = root
+            while node.children is not None:
+                node = max(node.children,
+                           key=lambda ch: _ucb(node, ch, cfg.mcts_c_uct))
+                path.append(node)
+            if node in search.leaves:
+                break  # tree exhausted for this round
+            search.leaves.append(node)
+            search.paths.append(path)
+            for n in path:  # virtual loss: discourage re-selection
+                n.N += A
+                n.W -= A * cfg.mcts_virtual_loss
+            if node is root:
+                break  # root not yet expanded: only one leaf exists
+        return len(search.leaves)
+
+    def _stack_frontier(self, search: _Search):
+        """Stack the selected leaves' states into a fixed (K·A, ...) numpy
+        batch (padded by duplicating the last leaf) plus the action vector.
+        An empty selection (finished lockstep episode) stacks the root as a
+        dummy whose results are discarded."""
+        A = self.sim.num_actions
+        K = max(1, self.cfg.mcts_frontier)
+        k = len(search.leaves)
+        states = [leaf.state for leaf in search.leaves] or [search.root.state]
+        states = states + [states[-1]] * (K - len(states))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.repeat(np.concatenate(xs, axis=0), A, axis=0),
+            *states)                                            # (K·A, ...)
+        acts = np.tile(np.arange(A, dtype=np.int32), K)
+        return stacked, acts
+
+    def _apply_round(self, search: _Search, nxt_np, rewards_np,
+                     returns_np) -> None:
+        """Expand the selected leaves with the children's host-side results
+        and back up (undoing the virtual loss)."""
+        cfg = self.cfg
+        A = self.sim.num_actions
         g = cfg.mcts_discount
-        root = _Node(jax.tree_util.tree_map(lambda x: x[None], root_state))
+        child_values = rewards_np + g * returns_np              # (K·A,)
+        for i, (leaf, path) in enumerate(zip(search.leaves, search.paths)):
+            leaf.children = []
+            for a in range(A):
+                j = i * A + a
+                child = _Node(
+                    jax.tree_util.tree_map(lambda x: x[j:j + 1], nxt_np),
+                    float(rewards_np[j]))
+                child.N = 1
+                child.W = float(child_values[j])
+                leaf.children.append(child)
 
-        visits = 0
-        while visits < n_sim:
-            key, k_step, k_eval = jax.random.split(key, 3)
+            mean_v = float(np.mean(child_values[i * A:(i + 1) * A]))
+            for n in reversed(path):
+                n.W += A * (mean_v + cfg.mcts_virtual_loss)
+                mean_v = n.reward + g * mean_v
+            search.visits += A
+        search.leaves, search.paths = [], []
 
-            # ---- selection of up to K distinct leaves with virtual loss
-            leaves, paths = [], []
-            for _ in range(K):
-                path = [root]
-                node = root
-                while node.children is not None:
-                    node = max(node.children,
-                               key=lambda ch: _ucb(node, ch, cfg.mcts_c_uct))
-                    path.append(node)
-                if node in leaves:
-                    break  # tree exhausted for this round
-                leaves.append(node)
-                paths.append(path)
-                for n in path:  # virtual loss: discourage re-selection
-                    n.N += A
-                    n.W -= A * cfg.mcts_virtual_loss
-                if node is root:
-                    break  # root not yet expanded: only one leaf exists
-
-            k = len(leaves)
-            # ---- expansion: all k·A children in one batched step.  Always
-            # pad to the full K·A shape so every call hits one executable.
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(
-                    list(xs) + [xs[-1]] * (K - k), axis=0),
-                *[leaf.state for leaf in leaves])
-            tiled = jax.tree_util.tree_map(
-                lambda x: jnp.repeat(x, A, axis=0), stacked)   # (K·A, ...)
-            acts = jnp.tile(jnp.arange(A, dtype=jnp.int32), K)
-            nxt, rewards = self.sim.step(tiled, acts, k_step)
-
-            # ---- evaluation: all k·A children in one batched rollout
-            returns = self.sim.evaluate(nxt, k_eval, cfg.mcts_horizon)
-            rewards_np = np.asarray(rewards, dtype=np.float64)
-            returns_np = np.asarray(returns, dtype=np.float64)
-            child_values = rewards_np + g * returns_np         # (K·A,)
-
-            for i, (leaf, path) in enumerate(zip(leaves, paths)):
-                leaf.children = []
-                for a in range(A):
-                    j = i * A + a
-                    child = _Node(
-                        jax.tree_util.tree_map(lambda x: x[j:j + 1], nxt),
-                        float(rewards_np[j]))
-                    child.N = 1
-                    child.W = float(child_values[j])
-                    leaf.children.append(child)
-
-                # ---- backup: undo virtual loss, add the real value
-                mean_v = float(np.mean(child_values[i * A:(i + 1) * A]))
-                for n in reversed(path):
-                    n.W += A * (mean_v + cfg.mcts_virtual_loss)
-                    mean_v = n.reward + g * mean_v
-                visits += A
-
-        counts = np.array([ch.N for ch in root.children])
+    @staticmethod
+    def _best(search: _Search) -> Tuple[int, np.ndarray]:
+        counts = np.array([ch.N for ch in search.root.children])
         # prefer higher value among equally-visited on small budgets
         best = int(np.argmax(counts + 1e-3 * np.array(
-            [ch.value for ch in root.children])))
+            [ch.value for ch in search.root.children])))
         return best, counts
+
+    # ---------------------------------------------------------------- serial
+    def run(self, root_state, key: jax.Array,
+            n_simulations: Optional[int] = None) -> Tuple[int, np.ndarray]:
+        """Search from root_state (unbatched pytree).  Returns (best action,
+        visit counts)."""
+        cfg = self.cfg
+        search = _Search(root_state, n_simulations or cfg.mcts_simulations)
+        while not search.done:
+            key, k_step, k_eval = jax.random.split(key, 3)
+            self._select_round(search)
+            stacked, acts = self._stack_frontier(search)
+            nxt, rewards = self.sim.step(stacked, acts, k_step)
+            returns = self.sim.evaluate(nxt, k_eval, cfg.mcts_horizon)
+            self._apply_round(search, _to_host(nxt),
+                              np.asarray(rewards, dtype=np.float64),
+                              np.asarray(returns, dtype=np.float64))
+        return self._best(search)
+
+
+class MCTSLockstep:
+    """E independent UCT searches advanced in lockstep.
+
+    Per round: every still-running search selects its K-leaf frontier
+    (host), the E frontiers are stacked into ONE (E, K·A) device call
+    (step + evaluate), and results scatter back to each tree.  Per-episode
+    results are identical to E serial `MCTS.run` calls with the same keys:
+    selection depends only on that tree's statistics, the per-episode PRNG
+    chains are advanced with the same splits (batched `vmap(split)` equals
+    per-key splits; splits of finished episodes are discarded — splitting
+    is pure), and the batched simulator calls are vmaps of the serial ones.
+    """
+
+    def __init__(self, sim: Simulator, cfg: Config):
+        self.sim = sim
+        self.cfg = cfg
+        self._mcts = MCTS(sim, cfg)
+        # batched per-episode key split on raw key data: vmap(split) equals
+        # E independent splits, in one device call per round
+        self._split3 = jax.jit(jax.vmap(lambda kd: jax.random.key_data(
+            jax.random.split(jax.random.wrap_key_data(kd), 3))))
+
+    def run(self, root_states: Sequence, keys: jax.Array,
+            n_simulations: Optional[int] = None
+            ) -> Tuple[List[int], List[np.ndarray]]:
+        """root_states: length-E sequence of unbatched pytrees; keys: (E,)
+        key array (one per episode, exactly what the serial path would get).
+        Returns (best actions, visit counts) per episode."""
+        cfg = self.cfg
+        E = len(root_states)
+        n_sim = n_simulations or cfg.mcts_simulations
+        searches = [_Search(s, n_sim) for s in root_states]
+        keys_data = np.array(jax.random.key_data(keys))        # (E, kd) copy
+
+        while any(not s.done for s in searches):
+            trip = np.asarray(self._split3(keys_data))         # (E, 3, kd)
+            active = []
+            for e, s in enumerate(searches):
+                if s.done:
+                    continue
+                self._mcts._select_round(s)
+                active.append(e)
+            # finished episodes keep their keys (their splits are discarded;
+            # splitting is pure, so this matches the serial chains exactly)
+            keys_data[active] = trip[active, 0]
+
+            frontiers = [self._mcts._stack_frontier(searches[e])
+                         for e in range(E)]
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0),
+                *[f[0] for f in frontiers])                 # (E, K·A, ...)
+            acts = np.stack([f[1] for f in frontiers], axis=0)
+            k_step = jax.random.wrap_key_data(trip[:, 1])
+            k_eval = jax.random.wrap_key_data(trip[:, 2])
+
+            nxt, rewards = self.sim.step_many(stacked, acts, k_step)
+            returns = self.sim.evaluate_many(nxt, k_eval, cfg.mcts_horizon)
+            nxt_np = _to_host(nxt)
+            rewards_np = np.asarray(rewards, dtype=np.float64)
+            returns_np = np.asarray(returns, dtype=np.float64)
+            for e in active:
+                self._mcts._apply_round(
+                    searches[e],
+                    jax.tree_util.tree_map(lambda x: x[e], nxt_np),
+                    rewards_np[e], returns_np[e])
+
+        results = [MCTS._best(s) for s in searches]
+        return [r[0] for r in results], [r[1] for r in results]

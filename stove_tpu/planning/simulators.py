@@ -8,8 +8,6 @@ fixed-shape device calls.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -54,14 +52,12 @@ class LearnedSimulator(Simulator):
                 q = jax.nn.sigmoid(logit / cfg.mcts_reward_temp)
             return q
 
-        @jax.jit
-        def _step(params, z, actions, key):
+        def _step_inner(params, z, actions, key):
             states, rewards = model.rollout_raw(
                 params, z, actions[:, None], key, 1, False)
             return states[:, 0], _calibrate(rewards[:, 0])
 
-        @partial(jax.jit, static_argnames=("horizon",))
-        def _evaluate(params, z, key, horizon):
+        def _evaluate_inner(params, z, key, horizon):
             k_act, k_roll = jax.random.split(key)
             B = z.shape[0]
             S = max(1, cfg.mcts_eval_samples)
@@ -81,14 +77,28 @@ class LearnedSimulator(Simulator):
                 ret = jnp.mean(ret.reshape(B, S), axis=1)
             return ret
 
-        self._step = _step
-        self._evaluate = _evaluate
+        self._step = jax.jit(_step_inner)
+        self._evaluate = jax.jit(_evaluate_inner,
+                                 static_argnames=("horizon",))
+        # lockstep variants: vmap over the episode axis with one key per
+        # episode — per-episode-identical to E serial calls (MCTSLockstep)
+        self._step_many = jax.jit(jax.vmap(
+            _step_inner, in_axes=(None, 0, 0, 0)))
+        self._evaluate_many = jax.jit(jax.vmap(
+            _evaluate_inner, in_axes=(None, 0, 0, None)),
+            static_argnames=("horizon",))
 
     def step(self, states, actions, key):
         return self._step(self.params, states, actions, key)
 
     def evaluate(self, states, key, horizon):
         return self._evaluate(self.params, states, key, horizon)
+
+    def step_many(self, states, actions, keys):
+        return self._step_many(self.params, states, actions, keys)
+
+    def evaluate_many(self, states, keys, horizon):
+        return self._evaluate_many(self.params, states, keys, horizon)
 
 
 class TrueSimulator(Simulator):
@@ -102,15 +112,13 @@ class TrueSimulator(Simulator):
         self.cfg = cfg
         self.num_actions = cfg.num_actions
 
-        @jax.jit
-        def _step(states, actions, key):
+        def _step_inner(states, actions, key):
             def one(s, a):
                 return physics.avoidance_step(cfg, s, a)
             nxt, rewards = jax.vmap(one)(states, actions)
             return nxt, rewards
 
-        @partial(jax.jit, static_argnames=("horizon",))
-        def _evaluate(states, key, horizon):
+        def _evaluate_inner(states, key, horizon):
             B = states.pos.shape[0]
             actions = jax.random.randint(key, (B, horizon), 0,
                                          cfg.num_actions)
@@ -126,11 +134,22 @@ class TrueSimulator(Simulator):
             disc = cfg.mcts_discount ** jnp.arange(horizon)
             return jnp.sum(jnp.moveaxis(rewards, 0, 1) * disc[None, :], 1)
 
-        self._step = _step
-        self._evaluate = _evaluate
+        self._step = jax.jit(_step_inner)
+        self._evaluate = jax.jit(_evaluate_inner,
+                                 static_argnames=("horizon",))
+        self._step_many = jax.jit(jax.vmap(_step_inner))
+        self._evaluate_many = jax.jit(jax.vmap(
+            _evaluate_inner, in_axes=(0, 0, None)),
+            static_argnames=("horizon",))
 
     def step(self, states, actions, key):
         return self._step(states, actions, key)
 
     def evaluate(self, states, key, horizon):
         return self._evaluate(states, key, horizon)
+
+    def step_many(self, states, actions, keys):
+        return self._step_many(states, actions, keys)
+
+    def evaluate_many(self, states, keys, horizon):
+        return self._evaluate_many(states, keys, horizon)

@@ -86,6 +86,12 @@ def rollout_metrics(model: StoveModel, params, ep: Episode, key: jax.Array,
         # AUC > 0.5: head separates collision from free steps.
         out["reward_auc"] = binary_auc(rewards.reshape(-1),
                                        true_r.reshape(-1))
+        # per-depth AUC localizes where open-loop reward predictions rot
+        # with rollout depth — the planner's branch values integrate these
+        # (error-attribution for the planning gap, VERDICT r2 #1)
+        out["reward_auc_per_step"] = jnp.stack(
+            [binary_auc(rewards[:, k], true_r[:, k])
+             for k in range(t_pred)])
     return out
 
 

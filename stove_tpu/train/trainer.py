@@ -108,7 +108,7 @@ class Trainer:
         self.test_ep = data_lib.ensure_dataset(cfg, "test")
 
         if (cfg.action_conditioned and cfg.reward_balanced_loss
-                and cfg.reward_pos_rate == 0.0):
+                and cfg.reward_pos_rate == 0.0):  # -1 forces legacy per-batch
             # corpus-level class prior for the balanced BCE + planner
             # calibration: per-batch estimates are high-variance at
             # realistic collision rates (a few % over B windows × 6 steps).
@@ -188,6 +188,7 @@ class Trainer:
                 "kl": out.kl, "reward_loss": out.reward_loss,
                 "overshoot": out.overshoot_loss,
                 "overshoot_reward": out.overshoot_reward_loss,
+                "open_sigma_nll": out.open_sigma_nll,
                 "grad_norm": optax.global_norm(grads),
             }
             return TrainState(params, opt_state, key, state.step + 1), metrics
@@ -295,6 +296,25 @@ class Trainer:
                                  int(self.state.step))
         m = eval_lib.rollout_metrics(self.model, self.state.params,
                                      self.test_ep, key)
+        if self.cfg.eval_longhorizon > 0:
+            # long-horizon stability on the VALIDATION half of the test
+            # sequences (pre-registered selection: pick the checkpoint whose
+            # val speed_ratio is closest to 1; report on the other half)
+            n_val = self.test_ep.frames.shape[0] // 2
+            val_ep = jax.tree_util.tree_map(lambda x: x[:n_val],
+                                            self.test_ep)
+            k_mean, k_samp = jax.random.split(
+                jax.random.fold_in(key, 1))
+            lh = eval_lib.longhorizon_metrics(
+                self.model, self.state.params, val_ep, k_mean,
+                t_pred=self.cfg.eval_longhorizon)
+            m["val_speed_ratio"] = lh["speed_ratio"]
+            m["val_in_frame"] = lh["frac_in_frame"]
+            lhs = eval_lib.longhorizon_metrics(
+                self.model, self.state.params, val_ep, k_samp,
+                t_pred=self.cfg.eval_longhorizon, sample=True)
+            m["val_speed_ratio_sampled"] = lhs["speed_ratio"]
+            m["val_in_frame_sampled"] = lhs["frac_in_frame"]
         if not getattr(self, "_baselines_logged", False):
             # trivial-predictor context (training-invariant; logged once)
             self._baselines_logged = True
@@ -360,7 +380,7 @@ class Trainer:
 
     # ----------------------------------------------------------- persistence
     def save(self, epoch: int) -> None:
-        ckpt_lib.save(self.run_dir, int(self.state.step), {
+        ckpt_lib.save(self.run_dir, int(self.state.step), keep=self.cfg.ckpt_keep, state={
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "key": jax.random.key_data(self.state.key),

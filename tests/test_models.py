@@ -302,3 +302,60 @@ class TestOvershoot:
             p, cfg, specs, frames, None, None, jax.random.key(3)).loss)(params)
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestOpenLoopSigma:
+    """Second transition std for open-loop rollouts (process noise separate
+    from the filter std that covers posterior jitter; VERDICT r2 #3)."""
+
+    def test_std_open_aliases_std_when_off(self, cfgm, setup):
+        specs, params = setup
+        z = jax.random.normal(jax.random.key(0),
+                              (2, cfgm.num_obj, cfgm.full_state_dim))
+        dyn = dyn_lib.apply(params["dynamics"], cfgm, z)
+        np.testing.assert_array_equal(np.asarray(dyn.std),
+                                      np.asarray(dyn.std_open))
+
+    def test_sigma_nll_trains_and_bounds(self, cfgm):
+        cfg = cfgm.with_overrides(open_loop_sigma=True, overshoot_k=2)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        z = jax.random.normal(jax.random.key(2),
+                              (2, cfg.num_obj, cfg.full_state_dim))
+        dyn = dyn_lib.apply(params["dynamics"], cfg, z)
+        sl = np.asarray(dyn.std_open[..., 2:])
+        assert (sl > cfg.min_open_std).all() and (sl < cfg.max_dyn_std).all()
+
+        frames = jax.random.uniform(jax.random.key(3),
+                                    (2, cfg.window, 32, 32))
+        out = stove_lib.elbo(params, cfg, specs, frames, None, None,
+                             jax.random.key(4))
+        assert jnp.isfinite(out.open_sigma_nll)
+        # the NLL term must produce gradient on the dynamics (σ_open head)
+        g = jax.grad(lambda p: stove_lib.overshoot_losses(
+            p, cfg, out.inferred, None, None, jax.random.key(5))[2])(params)
+        gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                    for x in jax.tree_util.tree_leaves(g["dynamics"]))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_sampled_rollout_uses_open_std(self, cfgm):
+        """With a tiny σ_open floor forced, sampled rollouts must spread
+        much less than the filter-std sampling would."""
+        cfg = cfgm.with_overrides(open_loop_sigma=True, overshoot_k=2,
+                                  min_open_std=1e-5)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        # zero-init output layer → raw std logits 0 → mid-range for BOTH
+        # heads; push the open head's raw logits very negative via bias so
+        # std_open ≈ its (tiny) floor
+        b = params["dynamics"]["out"][-1]["b"]
+        d_open = 4 + cfg.cl
+        params["dynamics"]["out"][-1]["b"] = b.at[-d_open:].set(-20.0)
+        z0 = jax.random.normal(jax.random.key(2),
+                               (4, cfg.num_obj, cfg.full_state_dim)) * 0.1
+        s1, _ = stove_lib.rollout(params, cfg, z0, None, 5,
+                                  jax.random.key(3), sample=True)
+        s2, _ = stove_lib.rollout(params, cfg, z0, None, 5,
+                                  jax.random.key(4), sample=True)
+        spread = float(jnp.max(jnp.abs(s1[..., 2:4] - s2[..., 2:4])))
+        assert spread < 1e-3  # filter std (>= 0.01/step) would far exceed
