@@ -16,6 +16,9 @@ echo "=== r3d_dense2k (corpus-BCE) $(date +%H:%M:%S) ==="
 timeout 1800 python -m stove_tpu.main $DENSE seed=0 \
   run_name=r3d_dense2k 2>&1 | tail -2
 
+echo "=== lockstep-vs-serial timing $(date +%H:%M:%S) ==="
+timeout 3600 python scripts/plan_lockstep_bench.py runs/r2a_dense2k 8 2>&1 | tail -5
+
 echo "=== budget sweep r2a_dense2k $(date +%H:%M:%S) ==="
 timeout 5400 python scripts/plan_budget_sweep.py runs/r2a_dense2k 40 2>&1 | tail -30
 echo "=== budget sweep r2_dense4 $(date +%H:%M:%S) ==="
