@@ -22,6 +22,10 @@ import jax
 
 if os.environ.get("PLAN_CPU", "0") == "1":
     jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache: sweep stages share executables across runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+except Exception:
+    pass
 
 sys.path.insert(0, "/root/repo")
 

@@ -15,7 +15,7 @@ ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
 
 for s in 20 21 22 23 24; do
   echo "=== r3g_grav_s$s (open-loop sigma) $(date +%H:%M:%S) ==="
-  timeout 1800 python -m stove_tpu.main $COMMON seed=$s \
+  timeout 2700 python -m stove_tpu.main $COMMON seed=$s \
     run_name=r3g_grav_s$s 2>&1 | tail -2
 done
 echo "=== queue2 done $(date +%H:%M:%S) ==="

@@ -13,7 +13,7 @@ steps_per_epoch=20 window=12 overshoot_k=8 eval_every=100 ckpt_every=200 \
 fused_epoch=false"
 
 echo "=== r3d_dense2k (corpus-BCE) $(date +%H:%M:%S) ==="
-timeout 1800 python -m stove_tpu.main $DENSE seed=0 \
+timeout 2700 python -m stove_tpu.main $DENSE seed=0 \
   run_name=r3d_dense2k 2>&1 | tail -2
 
 echo "=== lockstep-vs-serial timing $(date +%H:%M:%S) ==="

@@ -37,7 +37,7 @@ def main(argv):
             rows.append((d.split("/")[-1], r))
     groups = defaultdict(list)
     for name, r in rows:
-        groups[re.sub(r"_seed\d+$", "", name)].append((name, r))
+        groups[re.sub(r"_(seed|s)\d+$", "", name)].append((name, r))
     for gname, members in groups.items():
         import numpy as np
         mse8 = np.array([m[1].get("mse_final", float("nan"))
