@@ -13,6 +13,9 @@ COMMON="preset=stove_gravity num_epochs=260 steps_per_epoch=20 window=16 \
 overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \
 ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
 
+echo "=== pallas rollout probe $(date +%H:%M:%S) ==="
+timeout 1200 python scripts/pallas_rollout_probe.py 2>&1 | tail -25
+
 for s in 20 21 22 23 24; do
   echo "=== r3g_grav_s$s (open-loop sigma) $(date +%H:%M:%S) ==="
   timeout 2700 python -m stove_tpu.main $COMMON seed=$s \

@@ -121,12 +121,21 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
     e = _mlp(params["embed"], inp, dtype=cd)                  # (B, O, h)
     s = _mlp(params["self"], e, dtype=cd)                     # (B, O, h)
 
-    # ordered pair tensor (B, O, O, 2h): receiver o listens to sender j
-    pair = jnp.concatenate([
-        jnp.broadcast_to(e[:, :, None, :], (B, O, O, e.shape[-1])),
-        jnp.broadcast_to(e[:, None, :, :], (B, O, O, e.shape[-1])),
-    ], axis=-1)
-    rel_att = _mlp(params["rel"], pair, dtype=cd)             # (B, O, O, h+1)
+    # pair features for ordered pairs (receiver o listens to sender j).
+    # The first rel layer on concat(e_o, e_j) factors exactly into two
+    # (B·O, h) matmuls + a broadcast add — the (B, O, O, 2h) concat tensor
+    # never materializes (it dominated rollout HBM traffic; same math,
+    # reordered contraction):  W·[e_o; e_j] = W_recv·e_o + W_send·e_j
+    w1, rest = params["rel"][0], params["rel"][1:]
+    h_e = e.shape[-1]
+    ecd = e.astype(cd)
+    recv = jnp.dot(ecd, w1["w"][:h_e].astype(cd),
+                   preferred_element_type=jnp.float32)        # (B, O, h)
+    send = jnp.dot(ecd, w1["w"][h_e:].astype(cd),
+                   preferred_element_type=jnp.float32)
+    pair_h = jax.nn.relu(recv[:, :, None, :] + send[:, None, :, :]
+                         + w1["b"])                           # (B, O, O, h)
+    rel_att = _mlp(rest, pair_h, dtype=cd)                    # (B, O, O, h+1)
     rel = rel_att[..., :-1]
     att = jax.nn.sigmoid(rel_att[..., -1:])                   # (B, O, O, 1)
     mask = (1.0 - jnp.eye(O, dtype=z.dtype))[None, :, :, None]

@@ -52,6 +52,34 @@ class TestDynamics:
         np.testing.assert_allclose(out.mean[..., SIZE], z[..., SIZE],
                                    atol=1e-6)
 
+    def test_factored_pair_matmul_matches_concat(self, cfgm, setup):
+        """The receiver/sender-factored first rel layer must equal the
+        concat formulation: W.[e_o; e_j] = W_recv.e_o + W_send.e_j."""
+        specs, params = setup
+        z = jax.random.normal(jax.random.key(9),
+                              (4, cfgm.num_obj, cfgm.full_state_dim))
+        dp = params["dynamics"]
+        out = dyn_lib.apply(dp, cfgm, z)
+
+        # reference concat path, replicated here
+        e = dyn_lib._mlp(dp["embed"], z)
+        B, O = z.shape[:2]
+        pair = jnp.concatenate([
+            jnp.broadcast_to(e[:, :, None, :], (B, O, O, e.shape[-1])),
+            jnp.broadcast_to(e[:, None, :, :], (B, O, O, e.shape[-1])),
+        ], axis=-1)
+        rel_att = dyn_lib._mlp(dp["rel"], pair)
+        s = dyn_lib._mlp(dp["self"], e)
+        rel = rel_att[..., :-1]
+        att = jax.nn.sigmoid(rel_att[..., -1:])
+        mask = (1.0 - jnp.eye(O, dtype=z.dtype))[None, :, :, None]
+        r = jnp.sum(rel * att * mask, axis=2)
+        ref_out = dyn_lib._mlp(dp["out"], jnp.concatenate([s, r], -1))
+        dv_ref = ref_out[..., 0:2]
+        np.testing.assert_allclose(
+            np.asarray(out.mean[..., 4:6] - z[..., 4:6]),
+            np.asarray(dv_ref), rtol=1e-5, atol=1e-6)
+
     def test_permutation_equivariance(self, cfgm, setup):
         """Graph net must be equivariant to object slot permutation."""
         _, params = setup

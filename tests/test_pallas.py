@@ -76,3 +76,42 @@ class TestFusedSpn:
             fused = pallas_spn.spn_log_prob_fused(spec, params, x, None,
                                                   tile=4, interpret=True)
             np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestPallasRollout:
+    """Fused whole-horizon rollout kernel (interpret mode; mean path —
+    the sampled path needs the TPU PRNG and is probed on silicon by
+    scripts/pallas_rollout_probe.py)."""
+
+    def test_mean_rollout_matches_xla(self):
+        import jax.numpy as jnp
+
+        from stove_tpu.config import Config
+        from stove_tpu.models import stove as stove_lib
+        from stove_tpu.ops import pallas_rollout as pr
+
+        cfg = Config()
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        w = params["dynamics"]["out"][-1]["w"]
+        params["dynamics"]["out"][-1]["w"] = 0.05 * jax.random.normal(
+            jax.random.key(5), w.shape)
+        err = pr.self_check(params["dynamics"], cfg, jax.random.key(2),
+                            batch=16, horizon=5, dtype=jnp.float32,
+                            interpret=True)
+        assert err < 1e-4, err
+
+    def test_open_sigma_variant_compiles(self):
+        import jax.numpy as jnp
+
+        from stove_tpu.config import Config
+        from stove_tpu.models import stove as stove_lib
+        from stove_tpu.ops import pallas_rollout as pr
+
+        cfg = Config().with_overrides(open_loop_sigma=True)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        err = pr.self_check(params["dynamics"], cfg, jax.random.key(2),
+                            batch=16, horizon=3, dtype=jnp.float32,
+                            interpret=True)
+        assert err < 1e-4, err
