@@ -1,13 +1,19 @@
-"""Dense planning benchmark on CPU (keeps the TPU free for training).
+"""Dense planning benchmark (TPU by default; PLAN_CPU=1 forces CPU).
 
 Restores the avoidance_dense checkpoint and runs model / oracle / random
 MCTS episodes with common random numbers (runner.run_planning).
 """
+import os
 import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("PLAN_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+except Exception:
+    pass
 
 sys.path.insert(0, "/root/repo")
 from stove_tpu.main import main  # noqa: E402

@@ -23,4 +23,14 @@ echo "=== budget sweep r2a_dense2k $(date +%H:%M:%S) ==="
 timeout 5400 python scripts/plan_budget_sweep.py runs/r2a_dense2k 40 2>&1 | tail -30
 echo "=== budget sweep r2_dense4 $(date +%H:%M:%S) ==="
 timeout 5400 python scripts/plan_budget_sweep.py runs/r2_dense4 40 2>&1 | tail -30
+
+# sampled-leaf values (anti-correlation hypothesis: annealed models' sharp
+# transitions make MEAN-rollout leaves miss collision branches; S=8 sampled
+# leaves integrate the noise — if the accurate model's gap closes under
+# sampling while the noisy model's doesn't move, the hypothesis stands)
+for RUN in runs/r2a_dense2k runs/r2_dense4 runs/r3d_dense2k; do
+  echo "=== sampled leaves $RUN $(date +%H:%M:%S) ==="
+  timeout 3600 python scripts/plan_eval.py $RUN mcts_eval_samples=8 \
+    mcts_episodes=40 2>&1 | tail -6
+done
 echo "=== queue3 done $(date +%H:%M:%S) ==="

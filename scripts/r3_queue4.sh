@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-3 queue 4: re-run billiards seeds killed by the too-tight round-1
+# timeout (tunnel stalls of ~15 min hit 2 of 5 linear seeds), with headroom.
+# Then per-depth reward-AUC evals and branch diagnostics for the planning
+# error-attribution table.
+set -u
+cd /root/repo
+COMMON="preset=stove_billiards num_epochs=360 steps_per_epoch=20 eval_every=60 ckpt_every=120 fused_epoch=false"
+
+for s in 11 14; do
+  echo "=== rerun r3a_bil_s$s (linear to 1%) $(date +%H:%M:%S) ==="
+  timeout 2700 python -m stove_tpu.main $COMMON seed=$s \
+    anneal_final=0.01 run_name=r3a2_bil_s$s 2>&1 | tail -2
+done
+
+echo "=== branch diag r2a_dense2k $(date +%H:%M:%S) ==="
+timeout 2700 python scripts/plan_branch_diag.py runs/r2a_dense2k 64 16 2>&1 | tail -15
+echo "=== branch diag r2_dense4 $(date +%H:%M:%S) ==="
+timeout 2700 python scripts/plan_branch_diag.py runs/r2_dense4 64 16 2>&1 | tail -15
+echo "=== branch diag r3d_dense2k $(date +%H:%M:%S) ==="
+timeout 2700 python scripts/plan_branch_diag.py runs/r3d_dense2k 64 16 2>&1 | tail -15
+echo "=== queue4 done $(date +%H:%M:%S) ==="
