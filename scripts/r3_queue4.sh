@@ -13,6 +13,14 @@ for s in 11 14; do
     anneal_final=0.01 run_name=r3a2_bil_s$s 2>&1 | tail -2
 done
 
+# cosine casualties (filled in as queue1 finishes; harmless if complete —
+# the rerun writes a fresh r3c2_* dir either way)
+for s in 11; do
+  echo "=== rerun r3c_bil_s$s (cosine to 1%) $(date +%H:%M:%S) ==="
+  timeout 2700 python -m stove_tpu.main $COMMON seed=$s \
+    anneal_shape=cosine anneal_final=0.01 run_name=r3c2_bil_s$s 2>&1 | tail -2
+done
+
 echo "=== branch diag r2a_dense2k $(date +%H:%M:%S) ==="
 timeout 2700 python scripts/plan_branch_diag.py runs/r2a_dense2k 64 16 2>&1 | tail -15
 echo "=== branch diag r2_dense4 $(date +%H:%M:%S) ==="
