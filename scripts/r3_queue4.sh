@@ -21,6 +21,15 @@ for s in 11; do
     anneal_shape=cosine anneal_final=0.01 run_name=r3c2_bil_s$s 2>&1 | tail -2
 done
 
+# Basin-lever probe on the HARD seeds: seeds 12/14 plateau under both
+# anneal shapes with overshoot stuck at ~0.015 (3x the basin value) — try
+# deeper open-loop pressure (K=8 over a 12-frame window, same budget).
+for s in 12 14; do
+  echo "=== r3k8_bil_s$s (K=8 w=12, linear 1%) $(date +%H:%M:%S) ==="
+  timeout 2700 python -m stove_tpu.main $COMMON seed=$s window=12 \
+    overshoot_k=8 anneal_final=0.01 run_name=r3k8_bil_s$s 2>&1 | tail -2
+done
+
 echo "=== branch diag r2a_dense2k $(date +%H:%M:%S) ==="
 timeout 2700 python scripts/plan_branch_diag.py runs/r2a_dense2k 64 16 2>&1 | tail -15
 echo "=== branch diag r2_dense4 $(date +%H:%M:%S) ==="
