@@ -184,29 +184,30 @@ def main() -> int:
 
             pert = jax.tree_util.tree_map(lambda x: x, params)
             w = pert["dynamics"]["out"][-1]["w"]
-            pert["dynamics"]["out"][-1]["w"] = 0.05 * jax.random.normal(
+            pert["dynamics"]["out"][-1]["w"] = 0.01 * jax.random.normal(
                 jax.random.key(9), w.shape)
             err = pr.self_check(pert["dynamics"], cfg, jax.random.key(10),
-                                batch=256, horizon=8, dtype=jnp.bfloat16)
-            print(f"pallas self-check max err (8 steps): {err:.4f}")
-            if err < 5e-2:
-                prep = pr.prepare_params(params["dynamics"], cfg,
-                                         jnp.bfloat16)
+                                batch=256, horizon=8, dtype=jnp.float32)
+            print(f"pallas f32 self-check max err (8 steps): {err:.5f}")
+            if err < 2e-3:
                 best = None
-                for blk in (512, 1024, 2048):
-                    if B % blk:
-                        continue
-                    fn = lambda s: pr.rollout_states(  # noqa: E731
-                        prep, cfg, z0, H, s, True, blk, jnp.bfloat16)
-                    fn(3).block_until_ready()
-                    t0 = time.perf_counter()
-                    for i in range(iters):
-                        out = fn(4 + i)
-                    out.block_until_ready()
-                    fps = iters * B * H / (time.perf_counter() - t0) / n_chips
-                    print(f"pallas rollout (block {blk}): "
-                          f"{fps:,.0f} frames/s/chip")
-                    best = max(best or 0.0, fps)
+                for dt in (jnp.float32, jnp.bfloat16):
+                    prep = pr.prepare_params(params["dynamics"], cfg, dt)
+                    for blk in (1024, 2048):
+                        if B % blk:
+                            continue
+                        fn = lambda s: pr.rollout_states(  # noqa: E731
+                            prep, cfg, z0, H, s, True, blk, dt)
+                        fn(3).block_until_ready()
+                        t0 = time.perf_counter()
+                        for i in range(iters):
+                            out = fn(4 + i)
+                        out.block_until_ready()
+                        fps = (iters * B * H
+                               / (time.perf_counter() - t0) / n_chips)
+                        print(f"pallas rollout ({dt.__name__}, block "
+                              f"{blk}): {fps:,.0f} frames/s/chip")
+                        best = max(best or 0.0, fps)
                 if best and best > fps_per_chip:
                     fps_per_chip = best
         except Exception as e:  # headline must never fail on the probe

@@ -12,6 +12,9 @@ DENSE="preset=avoidance_dense num_train=2000 num_epochs=400 \
 steps_per_epoch=20 window=12 overshoot_k=8 eval_every=100 ckpt_every=200 \
 fused_epoch=false"
 
+echo "=== pallas rollout probe 2 $(date +%H:%M:%S) ==="
+timeout 1800 python scripts/pallas_rollout_probe2.py 2>&1 | tail -20
+
 echo "=== r3d_dense2k (corpus-BCE) $(date +%H:%M:%S) ==="
 timeout 2700 python -m stove_tpu.main $DENSE seed=0 \
   run_name=r3d_dense2k 2>&1 | tail -2
