@@ -76,6 +76,46 @@ def main():
                 rec(f"fps_{name}_b{blk}_FAILED",
                     f"{type(e).__name__}: {e}"[:200])
 
+    # action+reward kernel (the MCTS leaf path): parity + timing
+    cfg_a = Config().with_overrides(task="avoidance",
+                                    action_conditioned=True,
+                                    reward_head=True)
+    specs_a = stove_lib.make_specs(jax.random.key(0), cfg_a)
+    params_a = stove_lib.init_params(jax.random.key(1), cfg_a, specs_a)
+    wa = params_a["dynamics"]["out"][-1]["w"]
+    params_a["dynamics"]["out"][-1]["w"] = 0.01 * jax.random.normal(
+        jax.random.key(5), wa.shape)
+    try:
+        Ba, Ha = 2048, 8
+        za = 0.1 * jax.random.normal(
+            jax.random.key(6), (Ba, cfg_a.num_obj, cfg_a.full_state_dim))
+        aa = jax.random.randint(jax.random.key(7), (Ba, Ha), 0,
+                                cfg_a.num_actions)
+        with jax.default_matmul_precision("float32"):
+            ref_s, ref_r = stove_lib.rollout(params_a, cfg_a, za, aa, Ha,
+                                             jax.random.key(8),
+                                             sample=False)
+            ref_r = ref_r.block_until_ready()
+        prep_a = pr.prepare_params(params_a["dynamics"], cfg_a,
+                                   jnp.float32)
+        got_s, got_r = pr.rollout_act(prep_a, cfg_a, za, aa, Ha, 0,
+                                      sample=False, block=256,
+                                      dtype=jnp.float32)
+        rec("act_parity_state", float(jnp.max(jnp.abs(got_s - ref_s))))
+        rec("act_parity_reward", float(jnp.max(jnp.abs(got_r - ref_r))))
+        prep16 = pr.prepare_params(params_a["dynamics"], cfg_a,
+                                   jnp.bfloat16)
+        t = timeit(lambda pp, z, a: pr.rollout_act(
+            pp, cfg_a, z, a, Ha, 7, True, 256, jnp.bfloat16)[1],
+            prep16, za, aa)
+        rec("act_kernel_b2048_h8_ms", round(1e3 * t, 3))
+        roll_xla_a = jax.jit(lambda p, z, a, k: stove_lib.rollout(
+            p, cfg_a, z, a, Ha, k, sample=True)[1])
+        t = timeit(roll_xla_a, params_a, za, aa, jax.random.key(9))
+        rec("act_xla_b2048_h8_ms", round(1e3 * t, 3))
+    except Exception as e:
+        rec("act_FAILED", f"{type(e).__name__}: {e}"[:300])
+
     # MCTS leaf-eval shape: B=2048, H=8 (frontier 32*9=288 leaves x ~7 eps)
     z2 = 0.1 * jax.random.normal(jax.random.key(6),
                                  (2048, cfg.num_obj, cfg.full_state_dim))

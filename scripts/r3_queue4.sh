@@ -37,3 +37,7 @@ timeout 2700 python scripts/plan_branch_diag.py runs/r2_dense4 64 16 2>&1 | tail
 echo "=== branch diag r3d_dense2k $(date +%H:%M:%S) ==="
 timeout 2700 python scripts/plan_branch_diag.py runs/r3d_dense2k 64 16 2>&1 | tail -15
 echo "=== queue4 done $(date +%H:%M:%S) ==="
+
+echo "=== bench smoke (driver-path insurance) $(date +%H:%M:%S) ==="
+timeout 1800 python bench.py 2>&1 | tail -8
+echo "=== queue4 really done $(date +%H:%M:%S) ==="

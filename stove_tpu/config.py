@@ -251,6 +251,12 @@ class Config:
     #   corpus; >0 undoes the balanced-BCE probability distortion in the
     #   planner's value estimates (calibration; 0 = off)
     mcts_virtual_loss: float = 1.0         # selection diversification weight
+    mcts_rollout_impl: str = "xla"         # leaf-evaluation rollout path:
+    #   xla    — jitted lax.scan (serial-identical keys; the default)
+    #   pallas — fused whole-horizon kernel (ops/pallas_rollout.rollout_act):
+    #            action sequences still drawn from the same per-episode
+    #            keys, but sampled-leaf noise comes from the kernel PRNG,
+    #            so scores are CRN-comparable, not bit-identical
     mcts_lockstep: bool = True             # run all evaluation episodes'
     #   searches in lockstep: E trees advance together, merging their K·A
     #   frontier evaluations into one (E·K·A)-batch device call per round

@@ -14,12 +14,15 @@ structure unrolls statically (O is 3; no (B,O,O,·) tensor ever exists:
 pair activations are recv_o + send_j broadcast adds, one (h, TB) tile per
 ordered pair).
 
-Scope: the action-free rollout (billiards/gravity bench + eval path;
-reward head not evaluated).  Sampled rollouts draw transition noise from
-the on-core PRNG (Box-Muller), injecting the same std the XLA path uses
-(std_open when cfg.open_loop_sigma).  Mean rollouts are bit-comparable to
-XLA up to matmul precision (kernel matmuls run bf16xbf16→f32 by default;
-set dtype=float32 for exact-tolerance tests).
+Scope: both the action-free rollout (billiards/gravity bench + eval path)
+and the action-conditioned rollout WITH the reward head (the MCTS leaf
+evaluation: per-step one-hot action rows are two extra matmul terms, and
+the geometry-aware reward head's pairwise distances are O(O²) elementwise
+(1, TB) row ops).  Sampled rollouts draw transition noise from the on-core
+PRNG (Box-Muller), injecting the same std the XLA path uses (std_open when
+cfg.open_loop_sigma).  Mean rollouts are bit-comparable to XLA up to
+matmul precision (kernel matmuls run bf16xbf16→f32 by default; the f32
+variant pins Precision.HIGHEST for exact-tolerance tests).
 
 Reference: [ref: model/video_prediction/dynamics.py + stove.py rollout —
 SURVEY.md §2, §3.3; mount empty, see SURVEY §0].
@@ -59,8 +62,11 @@ def prepare_params(dyn_params: Dict, cfg: Config, dtype=jnp.bfloat16) -> Dict:
 
     p = dyn_params
     rel0 = p["rel"][0]
+    D = cfg.full_state_dim
+    # embed layer 0: state rows and (optional) action one-hot rows split
+    w_embed0 = p["embed"][0]["w"]                        # (D [+A], h)
     out = {
-        "w_e0": wt(p["embed"][0]), "b_e0": bt(p["embed"][0]),
+        "w_e0": jnp.asarray(w_embed0[:D].T, dtype), "b_e0": bt(p["embed"][0]),
         "w_e1": wt(p["embed"][1]), "b_e1": bt(p["embed"][1]),
         "w_s0": wt(p["self"][0]), "b_s0": bt(p["self"][0]),
         "w_s1": wt(p["self"][1]), "b_s1": bt(p["self"][1]),
@@ -81,6 +87,24 @@ def prepare_params(dyn_params: Dict, cfg: Config, dtype=jnp.bfloat16) -> Dict:
         "w_o1": wt(p["out"][1]), "b_o1": bt(p["out"][1]),
         "w_o2": wt(p["out"][2]), "b_o2": bt(p["out"][2]),
     }
+    if cfg.action_conditioned:
+        out["w_e0a"] = jnp.asarray(w_embed0[D:].T, dtype)     # (h, A)
+    if cfg.reward_head and "reward" in p:
+        h = cfg.dyn_hidden
+        for name, mlp in (("rw", p["reward"]), ("ra2", p["reward_att"])):
+            w0 = mlp[0]["w"]                                  # (2h+2, h)
+            out[f"w_{name}_s"] = jnp.asarray(w0[:h].T, dtype)
+            out[f"w_{name}_r"] = jnp.asarray(w0[h:2 * h].T, dtype)
+            # the two scalar geometry features multiply (1, TB) rows:
+            # store their weight rows as (h, 1) columns
+            out[f"w_{name}_g"] = jnp.asarray(w0[2 * h][:, None], jnp.float32)
+            out[f"w_{name}_d"] = jnp.asarray(w0[2 * h + 1][:, None],
+                                             jnp.float32)
+            out[f"b_{name}0"] = bt(mlp[0])
+            out[f"w_{name}1"] = wt(mlp[1])
+            out[f"b_{name}1"] = bt(mlp[1])
+            out[f"w_{name}2"] = jnp.asarray(mlp[2]["w"], jnp.float32)  # (h,1)
+            out[f"b_{name}2"] = jnp.asarray(mlp[2]["b"], jnp.float32)  # (1,)
     return out
 
 
@@ -88,6 +112,12 @@ _PARAM_ORDER = ("w_e0", "b_e0", "w_e1", "b_e1", "w_s0", "b_s0", "w_s1",
                 "b_s1", "w_recv", "w_send", "b_r0", "w_r1", "b_r1", "w_rf",
                 "b_rf", "w_ra", "b_ra", "w_o0s", "w_o0r", "b_o0", "w_o1",
                 "b_o1", "w_o2", "b_o2")
+
+_ACTION_PARAMS = ("w_e0a",)
+_REWARD_PARAMS = ("w_rw_s", "w_rw_r", "w_rw_g", "w_rw_d", "b_rw0", "w_rw1",
+                  "b_rw1", "w_rw2", "b_rw2",
+                  "w_ra2_s", "w_ra2_r", "w_ra2_g", "w_ra2_d", "b_ra20",
+                  "w_ra21", "b_ra21", "w_ra22", "b_ra22")
 
 
 def _normals(shape):
@@ -102,8 +132,9 @@ def _normals(shape):
 
 
 def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
-                 dtype):
+                 dtype, actions_on: bool = False, reward_on: bool = False):
     O = cfg.num_obj
+    A = cfg.num_actions
     cl = cfg.cl
     D = 6 + cl                       # per-object state rows
     SD = O * D
@@ -128,18 +159,40 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
             y = y + b[:]
         return jnp.maximum(y, 0.0) if relu else y
 
+    order = list(_PARAM_ORDER)
+    if actions_on:
+        order += list(_ACTION_PARAMS)
+    if reward_on:
+        order += list(_REWARD_PARAMS)
+
     def kernel(seed_ref, z0_ref, *refs):
-        params = dict(zip(_PARAM_ORDER, refs[:len(_PARAM_ORDER)]))
-        out_ref = refs[len(_PARAM_ORDER)]
+        k = 0
+        act_ref = None
+        if actions_on:
+            act_ref = refs[0]
+            k = 1
+        params = dict(zip(order, refs[k:k + len(order)]))
+        out_ref = refs[k + len(order)]
+        rew_ref = refs[k + len(order) + 1] if reward_on else None
         if sample:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
         def step(t, z):
+            act_term = None
+            if actions_on:
+                a_row = act_ref[pl.ds(t, 1), :]                # (1, TB)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, TB), 0)
+                onehot = (row_ids == a_row).astype(jnp.float32)
+                act_term = mm(params["w_e0a"], onehot)         # (h, TB)
+
             # ---- embed + self core, per object (unrolled; O static)
             es, ss = [], []
             for o in range(O):
                 zo = z[D * o:D * (o + 1), :]                   # (D, TB)
-                x = mm(params["w_e0"], zo, params["b_e0"], relu=True)
+                x = mm(params["w_e0"], zo, params["b_e0"])
+                if act_term is not None:
+                    x = x + act_term
+                x = jnp.maximum(x, 0.0)
                 e = mm(params["w_e1"], x, params["b_e1"])
                 es.append(e)
                 sx = mm(params["w_s0"], e, params["b_s0"], relu=True)
@@ -166,7 +219,7 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                 rs.append(acc)
 
             # ---- output MLP + Euler integration, per object
-            zs = []
+            zs, means = [], []
             for o in range(O):
                 g = jnp.maximum(mm(params["w_o0s"], ss[o])
                                 + mm(params["w_o0r"], rs[o])
@@ -181,6 +234,7 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                 pos = zo[2:4, :] + vel
                 lat = (zo[6:, :] + dl) if latent_residual else dl
                 mean = jnp.concatenate([zo[0:2, :], pos, vel, lat], axis=0)
+                means.append(mean)
                 if sample:
                     raw = (out[6 + 2 * cl:10 + 3 * cl, :] if use_open
                            else out[2 + cl:6 + 2 * cl, :])     # (4+cl, TB)
@@ -190,6 +244,52 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                         axis=0)
                     mean = mean + std * _normals((D, TB))
                 zs.append(mean)
+
+            if reward_on:
+                # geometry of the PREDICTED MEAN next state (as in
+                # dynamics.apply): signed contact gap + min distance per
+                # object, per-object scores pooled by learned attention
+                pos_o = [means[o][2:4, :] for o in range(O)]
+                size_o = [jnp.mean(means[o][0:2, :], axis=0, keepdims=True)
+                          for o in range(O)]
+                dists = {}
+                for o in range(O):
+                    for j in range(o + 1, O):
+                        d2 = jnp.sum((pos_o[o] - pos_o[j]) ** 2, axis=0,
+                                     keepdims=True)
+                        dists[(o, j)] = jnp.sqrt(d2 + 1e-8)   # (1, TB)
+                scores, logits = [], []
+                for o in range(O):
+                    mg, md = None, None
+                    for j in range(O):
+                        if j == o:
+                            continue
+                        dd = dists[(min(o, j), max(o, j))]
+                        gg = dd - (size_o[o] + size_o[j])
+                        mg = gg if mg is None else jnp.minimum(mg, gg)
+                        md = dd if md is None else jnp.minimum(md, dd)
+                    for name, sink in (("rw", scores), ("ra2", logits)):
+                        f = jnp.maximum(
+                            mm(params[f"w_{name}_s"], ss[o])
+                            + mm(params[f"w_{name}_r"], rs[o])
+                            + params[f"w_{name}_g"][:] * mg
+                            + params[f"w_{name}_d"][:] * md
+                            + params[f"b_{name}0"][:], 0.0)
+                        f = mm(params[f"w_{name}1"], f,
+                               params[f"b_{name}1"], relu=True)
+                        v = (jnp.sum(f * params[f"w_{name}2"][:], axis=0,
+                                     keepdims=True)
+                             + params[f"b_{name}2"][0])        # (1, TB)
+                        sink.append(v)
+                mx = jnp.maximum(jnp.maximum(logits[0], logits[1]),
+                                 logits[2]) if O == 3 else \
+                    functools.reduce(jnp.maximum, logits)
+                exps = [jnp.exp(lg - mx) for lg in logits]
+                denom = functools.reduce(lambda a, b: a + b, exps)
+                pooled = functools.reduce(
+                    lambda a, b: a + b,
+                    [e * s for e, s in zip(exps, scores)]) / denom
+                rew_ref[t] = jax.nn.sigmoid(pooled)            # (1, TB)
 
             z_next = jnp.concatenate(zs, axis=0)               # (SD, TB)
             out_ref[t] = z_next
@@ -246,6 +346,73 @@ def rollout_states(prepared: Dict, cfg: Config, z0: jnp.ndarray,
 
     # (H, SD, B) → (B, H, O, D), matching stove.rollout's state output
     return jnp.moveaxis(out, 2, 0).reshape(B, horizon, O, D)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "horizon", "sample",
+                                             "block", "dtype", "interpret"))
+def rollout_act(prepared: Dict, cfg: Config, z0: jnp.ndarray,
+                actions: jnp.ndarray, horizon: int, seed,
+                sample: bool = False, block: int = 256,
+                dtype=jnp.bfloat16, interpret: bool = False):
+    """Action-conditioned fused rollout WITH the reward head.
+
+    z0: (B, O, 6+cl); actions: (B, horizon) int32.
+    Returns (states (B, H, O, D), rewards (B, H)) — the MCTS leaf shape
+    (matches `stove.rollout`; rewards are the raw head probabilities,
+    calibration/temperature stay caller-side as in LearnedSimulator).
+    """
+    B, O, D = z0.shape
+    SD = O * D
+    if B % block:
+        raise ValueError(f"batch {B} not a multiple of block {block}")
+    grid = B // block
+    reward_on = bool(cfg.reward_head)
+
+    zt = z0.reshape(B, SD).T
+    at = actions.T                                             # (H, B)
+    seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+
+    kernel = _make_kernel(cfg, horizon, block, sample, dtype,
+                          actions_on=True, reward_on=reward_on)
+    order = (list(_PARAM_ORDER) + list(_ACTION_PARAMS)
+             + (list(_REWARD_PARAMS) if reward_on else []))
+    weights = [prepared[k] for k in order]
+
+    out_shapes = [jax.ShapeDtypeStruct((horizon, SD, B), jnp.float32)]
+    out_specs = [pl.BlockSpec((horizon, SD, block), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)]
+    if reward_on:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((horizon, 1, B), jnp.float32))
+        out_specs.append(pl.BlockSpec((horizon, 1, block),
+                                      lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
+            pl.BlockSpec((SD, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),             # z0
+            pl.BlockSpec((horizon, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),             # actions
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in order],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(seed_arr, zt, at, *weights)
+
+    states = jnp.moveaxis(outs[0], 2, 0).reshape(B, horizon, O, D)
+    if reward_on:
+        rewards = outs[1][:, 0, :].T                           # (B, H)
+    else:
+        rewards = jnp.zeros((B, horizon), jnp.float32)
+    return states, rewards
 
 
 def rollout_pallas(dyn_params: Dict, cfg: Config, z0: jnp.ndarray,

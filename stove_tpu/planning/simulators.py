@@ -88,6 +88,58 @@ class LearnedSimulator(Simulator):
             _evaluate_inner, in_axes=(None, 0, 0, None)),
             static_argnames=("horizon",))
 
+        if cfg.mcts_rollout_impl == "pallas":
+            # fused-kernel leaf evaluation: action sequences still come
+            # from the same per-episode keys (CRN semantics preserved);
+            # values match XLA up to matmul precision on mean leaves
+            from stove_tpu.ops import pallas_rollout as pr
+
+            prepared = pr.prepare_params(params["dynamics"], cfg,
+                                         jnp.bfloat16)
+
+            def _evaluate_many_pallas(params_unused, z, keys, horizon):
+                E, B = z.shape[:2]
+                S = max(1, cfg.mcts_eval_samples)
+                trip = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+                actions = jax.vmap(
+                    lambda k: jax.random.randint(
+                        k, (B * S, horizon), 0, cfg.num_actions))(
+                    trip[:, 0])                                # (E, B·S, H)
+                zr = z
+                if S > 1:
+                    zr = jnp.repeat(z, S, axis=1)
+                flat_z = zr.reshape(E * B * S, *z.shape[2:])
+                flat_a = actions.reshape(E * B * S, horizon)
+                blk = 256
+                n = flat_z.shape[0]
+                pad = (-n) % blk
+                if pad:
+                    flat_z = jnp.concatenate(
+                        [flat_z, flat_z[:pad]], axis=0)
+                    flat_a = jnp.concatenate(
+                        [flat_a, flat_a[:pad]], axis=0)
+                # kernel noise seed varies with the first episode's roll
+                # key (only used when S > 1; sampled-leaf noise is
+                # distribution-level, not bit-identical to threefry)
+                seed = jnp.asarray(
+                    jax.random.key_data(trip[0, 1]), jnp.uint32
+                ).ravel()[0].astype(jnp.int32)
+                _, rew = pr.rollout_act(prepared, cfg, flat_z, flat_a,
+                                        horizon, seed, sample=S > 1,
+                                        block=blk)
+                rew = rew[:n]
+                disc = cfg.mcts_discount ** jnp.arange(horizon)
+                ret = jnp.sum(_calibrate(rew) * disc[None, :], axis=1)
+                ret = ret.reshape(E, B, S).mean(-1)
+                return ret
+
+            self._evaluate_many = jax.jit(
+                _evaluate_many_pallas, static_argnames=("horizon",))
+            self._evaluate = jax.jit(
+                lambda p, z, key, horizon: _evaluate_many_pallas(
+                    p, z[None], key[None], horizon)[0],
+                static_argnames=("horizon",))
+
     def step(self, states, actions, key):
         return self._step(self.params, states, actions, key)
 

@@ -115,3 +115,32 @@ class TestPallasRollout:
                             batch=16, horizon=3, dtype=jnp.float32,
                             interpret=True)
         assert err < 1e-4, err
+
+    def test_action_reward_rollout_matches_xla(self):
+        import jax.numpy as jnp
+
+        from stove_tpu.config import Config
+        from stove_tpu.models import stove as stove_lib
+        from stove_tpu.ops import pallas_rollout as pr
+
+        cfg = Config().with_overrides(task="avoidance",
+                                      action_conditioned=True,
+                                      reward_head=True)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        w = params["dynamics"]["out"][-1]["w"]
+        params["dynamics"]["out"][-1]["w"] = 0.01 * jax.random.normal(
+            jax.random.key(5), w.shape)
+        B, H = 16, 6
+        z0 = 0.1 * jax.random.normal(
+            jax.random.key(2), (B, cfg.num_obj, cfg.full_state_dim))
+        acts = jax.random.randint(jax.random.key(3), (B, H), 0,
+                                  cfg.num_actions)
+        ref_s, ref_r = stove_lib.rollout(params, cfg, z0, acts, H,
+                                         jax.random.key(4), sample=False)
+        prep = pr.prepare_params(params["dynamics"], cfg, jnp.float32)
+        got_s, got_r = pr.rollout_act(prep, cfg, z0, acts, H, 0,
+                                      sample=False, block=16,
+                                      dtype=jnp.float32, interpret=True)
+        assert float(jnp.max(jnp.abs(got_s - ref_s))) < 1e-4
+        assert float(jnp.max(jnp.abs(got_r - ref_r))) < 1e-5
