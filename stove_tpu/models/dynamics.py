@@ -72,8 +72,6 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     h = cfg.dyn_hidden
     d_in = cfg.full_state_dim + (cfg.num_actions if cfg.action_conditioned else 0)
     d_out = 2 + cfg.cl + (4 + cfg.cl)  # Δv, Δℓ, raw stds for pos/vel/lat
-    if cfg.open_loop_sigma:
-        d_out += 4 + cfg.cl            # raw OPEN-LOOP stds for pos/vel/lat
     hid = [h] * cfg.dyn_layers
     k = jax.random.split(key, 6)
     params = {
@@ -89,6 +87,15 @@ def init_params(key: jax.Array, cfg: Config) -> Dict:
     # zero-init the final output layer: the transition starts as the identity
     # flow (Δv = Δℓ = 0, mid-range σ), which stabilizes early training
     params["out"][-1]["w"] = jnp.zeros_like(params["out"][-1]["w"])
+    if cfg.open_loop_sigma:
+        # OPEN-LOOP process-noise std head, fed STOP-GRADDED trunk features:
+        # its NLL objective has magnitude ~|log σ|·dims ≈ 40+ per window and
+        # sharing the trunk let that gradient wreck the dynamics features
+        # (measured: gravity detect_mse 0.13 vs 0.0004, kl −26 vs −12).
+        # A detached head calibrates σ_open with ZERO influence on the mean
+        # dynamics or the filter.
+        ko = jax.random.fold_in(key, 17)
+        params["open"] = _mlp_init(ko, [2 * h, h, 4 + cfg.cl])
     if cfg.reward_head:
         # per-object reward attribution: each object gets a score from its
         # (self, relational, contact-gap) features; a learned attention
@@ -155,8 +162,10 @@ def apply(params: Dict, cfg: Config, z: jnp.ndarray,
     std_pvl = gaussians.bounded_std(raw_std, cfg.min_dyn_std, cfg.max_dyn_std)
     size_std = jnp.full_like(z[..., SIZE], cfg.size_std)
     std = jnp.concatenate([size_std, std_pvl], axis=-1)
-    if cfg.open_loop_sigma:
-        raw_open = out[..., 6 + 2 * cfg.cl:]
+    if cfg.open_loop_sigma and "open" in params:
+        # detached head (see init_params): NLL gradients stop here
+        feats = jax.lax.stop_gradient(jnp.concatenate([s, r], -1))
+        raw_open = _mlp(params["open"], feats, dtype=cd)
         open_pvl = gaussians.bounded_std(raw_open, cfg.min_open_std,
                                          cfg.max_dyn_std)
         std_open = jnp.concatenate([size_std, open_pvl], axis=-1)

@@ -393,10 +393,12 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
             # position loss must shape the mean dynamics, not collapse the
             # learned noise scale (σ is trained by the ELBO/NLL terms).
             key, k_s = jax.random.split(key)
-            # roll under the same noise scale sampled rollouts deploy
-            # (std_open aliases std when open_loop_sigma is off)
+            # roll under the FILTER std (round-2's validated noise-
+            # robustness recipe) — not std_open, which calibrates toward
+            # the (small) true process noise and would neuter this
+            # perturbation as it trains
             z = gaussians.sample(k_s, dyn.mean,
-                                 jax.lax.stop_gradient(dyn.std_open))
+                                 jax.lax.stop_gradient(dyn.std))
         else:
             z = dyn.mean
         pred_pos = z[..., POS].reshape(B, S, cfg.num_obj, 2)

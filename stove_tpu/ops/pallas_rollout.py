@@ -89,6 +89,14 @@ def prepare_params(dyn_params: Dict, cfg: Config, dtype=jnp.bfloat16) -> Dict:
     }
     if cfg.action_conditioned:
         out["w_e0a"] = jnp.asarray(w_embed0[D:].T, dtype)     # (h, A)
+    if cfg.open_loop_sigma and "open" in p:
+        h = cfg.dyn_hidden
+        w0 = p["open"][0]["w"]                                # (2h, h)
+        out["w_op_s"] = jnp.asarray(w0[:h].T, dtype)
+        out["w_op_r"] = jnp.asarray(w0[h:].T, dtype)
+        out["b_op0"] = bt(p["open"][0])
+        out["w_op1"] = wt(p["open"][1])
+        out["b_op1"] = bt(p["open"][1])
     if cfg.reward_head and "reward" in p:
         h = cfg.dyn_hidden
         for name, mlp in (("rw", p["reward"]), ("ra2", p["reward_att"])):
@@ -114,6 +122,7 @@ _PARAM_ORDER = ("w_e0", "b_e0", "w_e1", "b_e1", "w_s0", "b_s0", "w_s1",
                 "b_o1", "w_o2", "b_o2")
 
 _ACTION_PARAMS = ("w_e0a",)
+_OPEN_PARAMS = ("w_op_s", "w_op_r", "b_op0", "w_op1", "b_op1")
 _REWARD_PARAMS = ("w_rw_s", "w_rw_r", "w_rw_g", "w_rw_d", "b_rw0", "w_rw1",
                   "b_rw1", "w_rw2", "b_rw2",
                   "w_ra2_s", "w_ra2_r", "w_ra2_g", "w_ra2_d", "b_ra20",
@@ -159,11 +168,14 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
             y = y + b[:]
         return jnp.maximum(y, 0.0) if relu else y
 
+    open_head = use_open and sample
     order = list(_PARAM_ORDER)
     if actions_on:
         order += list(_ACTION_PARAMS)
     if reward_on:
         order += list(_REWARD_PARAMS)
+    if open_head:
+        order += list(_OPEN_PARAMS)
 
     def kernel(seed_ref, z0_ref, *refs):
         k = 0
@@ -236,8 +248,14 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                 mean = jnp.concatenate([zo[0:2, :], pos, vel, lat], axis=0)
                 means.append(mean)
                 if sample:
-                    raw = (out[6 + 2 * cl:10 + 3 * cl, :] if use_open
-                           else out[2 + cl:6 + 2 * cl, :])     # (4+cl, TB)
+                    if open_head:
+                        # detached open-loop std head on (s, r) features
+                        f = jnp.maximum(mm(params["w_op_s"], ss[o])
+                                        + mm(params["w_op_r"], rs[o])
+                                        + params["b_op0"][:], 0.0)
+                        raw = mm(params["w_op1"], f, params["b_op1"])
+                    else:
+                        raw = out[2 + cl:6 + 2 * cl, :]        # (4+cl, TB)
                     std_pvl = lo + (hi - lo) * jax.nn.sigmoid(raw)
                     std = jnp.concatenate(
                         [jnp.full((2, TB), size_std, jnp.float32), std_pvl],
@@ -322,7 +340,10 @@ def rollout_states(prepared: Dict, cfg: Config, z0: jnp.ndarray,
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
 
     kernel = _make_kernel(cfg, horizon, block, sample, dtype)
-    weights = [prepared[k] for k in _PARAM_ORDER]
+    order = list(_PARAM_ORDER)
+    if sample and cfg.open_loop_sigma:
+        order += list(_OPEN_PARAMS)
+    weights = [prepared[k] for k in order]
 
     out = pl.pallas_call(
         kernel,
@@ -332,7 +353,7 @@ def rollout_states(prepared: Dict, cfg: Config, z0: jnp.ndarray,
             pl.BlockSpec((SD, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),             # z0
             *[pl.BlockSpec(memory_space=pltpu.VMEM)
-              for _ in _PARAM_ORDER],
+              for _ in order],
         ],
         out_specs=pl.BlockSpec((horizon, SD, block),
                                lambda i: (0, 0, i),
@@ -375,7 +396,9 @@ def rollout_act(prepared: Dict, cfg: Config, z0: jnp.ndarray,
     kernel = _make_kernel(cfg, horizon, block, sample, dtype,
                           actions_on=True, reward_on=reward_on)
     order = (list(_PARAM_ORDER) + list(_ACTION_PARAMS)
-             + (list(_REWARD_PARAMS) if reward_on else []))
+             + (list(_REWARD_PARAMS) if reward_on else [])
+             + (list(_OPEN_PARAMS)
+                if (sample and cfg.open_loop_sigma) else []))
     weights = [prepared[k] for k in order]
 
     out_shapes = [jax.ShapeDtypeStruct((horizon, SD, B), jnp.float32)]

@@ -373,12 +373,11 @@ class TestOpenLoopSigma:
                                   min_open_std=1e-5)
         specs = stove_lib.make_specs(jax.random.key(0), cfg)
         params = stove_lib.init_params(jax.random.key(1), cfg, specs)
-        # zero-init output layer → raw std logits 0 → mid-range for BOTH
-        # heads; push the open head's raw logits very negative via bias so
-        # std_open ≈ its (tiny) floor
-        b = params["dynamics"]["out"][-1]["b"]
-        d_open = 4 + cfg.cl
-        params["dynamics"]["out"][-1]["b"] = b.at[-d_open:].set(-20.0)
+        # push the detached open head's raw logits very negative via its
+        # bias so std_open ≈ its (tiny) floor
+        op = params["dynamics"]["open"]
+        op[-1]["w"] = jnp.zeros_like(op[-1]["w"])
+        op[-1]["b"] = jnp.full_like(op[-1]["b"], -20.0)
         z0 = jax.random.normal(jax.random.key(2),
                                (4, cfg.num_obj, cfg.full_state_dim)) * 0.1
         s1, _ = stove_lib.rollout(params, cfg, z0, None, 5,
