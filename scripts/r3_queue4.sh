@@ -7,6 +7,15 @@ set -u
 cd /root/repo
 COMMON="preset=stove_billiards num_epochs=360 steps_per_epoch=20 eval_every=60 ckpt_every=120 fused_epoch=false"
 
+# gravity seed 20 ran before the detached-sigma-head fix (collapsed);
+# rerun with the corrected code so the 5-seed protocol is uniform
+GRAV="preset=stove_gravity num_epochs=260 steps_per_epoch=20 window=16 \
+overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \
+ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
+echo "=== rerun r3g_grav_s20 $(date +%H:%M:%S) ==="
+timeout 2700 python -m stove_tpu.main $GRAV seed=20 \
+  run_name=r3g2_grav_s20 2>&1 | tail -2
+
 for s in 11 14; do
   echo "=== rerun r3a_bil_s$s (linear to 1%) $(date +%H:%M:%S) ==="
   timeout 2700 python -m stove_tpu.main $COMMON seed=$s \
