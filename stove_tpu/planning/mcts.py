@@ -171,8 +171,12 @@ class MCTS:
             leaf.children = []
             for a in range(A):
                 j = i * A + a
+                # np.array (not a view): a view would pin the whole round's
+                # (K·A, ...) batch in memory for the life of the tree —
+                # ~1.5 GB over a 3456-simulation lockstep search
                 child = _Node(
-                    jax.tree_util.tree_map(lambda x: x[j:j + 1], nxt_np),
+                    jax.tree_util.tree_map(lambda x: np.array(x[j:j + 1]),
+                                           nxt_np),
                     float(rewards_np[j]))
                 child.N = 1
                 child.W = float(child_values[j])
