@@ -39,6 +39,15 @@ for s in 12 14; do
     overshoot_k=8 anneal_final=0.01 run_name=r3k8_bil_s$s 2>&1 | tail -2
 done
 
+# Rescue protocol probe: second anneal cycle (0.3x base -> 1%) on the two
+# COMPLETED plateau runs.  If both drop into the basin, the pre-registered
+# fallback protocol is validated: trigger = train overshoot > 0.010 at the
+# end of the run; cost = +1/3 of a run.
+echo "=== anneal cycle rescue r3a_bil_s12 $(date +%H:%M:%S) ==="
+timeout 2700 python scripts/anneal_cycle.py runs/r3a_bil_s12 120 0.3 2>&1 | tail -2
+echo "=== anneal cycle rescue r3c_bil_s14 $(date +%H:%M:%S) ==="
+timeout 2700 python scripts/anneal_cycle.py runs/r3c_bil_s14 120 0.3 2>&1 | tail -2
+
 echo "=== branch diag r2a_dense2k $(date +%H:%M:%S) ==="
 timeout 2700 python scripts/plan_branch_diag.py runs/r2a_dense2k 64 16 2>&1 | tail -15
 echo "=== branch diag r2_dense4 $(date +%H:%M:%S) ==="
