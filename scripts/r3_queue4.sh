@@ -56,6 +56,11 @@ echo "=== branch diag r3d_dense2k $(date +%H:%M:%S) ==="
 timeout 2700 python scripts/plan_branch_diag.py runs/r3d_dense2k 64 16 2>&1 | tail -15
 echo "=== queue4 done $(date +%H:%M:%S) ==="
 
+echo "=== gravity selection protocol $(date +%H:%M:%S) ==="
+timeout 3600 python scripts/grav_select.py runs/r3g_grav_s21 \
+  runs/r3g_grav_s22 runs/r3g_grav_s23 runs/r3g_grav_s24 \
+  runs/r3g2_grav_s20 2>&1 | tail -20
+
 echo "=== bench smoke (driver-path insurance) $(date +%H:%M:%S) ==="
 timeout 1800 python bench.py 2>&1 | tail -8
 echo "=== queue4 really done $(date +%H:%M:%S) ==="
