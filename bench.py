@@ -190,14 +190,19 @@ def main() -> int:
                                 batch=256, horizon=8, dtype=jnp.float32)
             print(f"pallas f32 self-check max err (8 steps): {err:.5f}")
             if err < 2e-3:
+                # bf16 is the perf path (f32 = 3-pass matmuls, measured
+                # 3.5x slower); blocks beyond 1024 overflow VMEM on v5e —
+                # each block size is guarded so one failure doesn't drop
+                # the successful timings
                 best = None
-                for dt in (jnp.float32, jnp.bfloat16):
-                    prep = pr.prepare_params(params["dynamics"], cfg, dt)
-                    for blk in (1024, 2048):
-                        if B % blk:
-                            continue
+                prep = pr.prepare_params(params["dynamics"], cfg,
+                                         jnp.bfloat16)
+                for blk in (1024, 512):
+                    if B % blk:
+                        continue
+                    try:
                         fn = lambda s: pr.rollout_states(  # noqa: E731
-                            prep, cfg, z0, H, s, True, blk, dt)
+                            prep, cfg, z0, H, s, True, blk, jnp.bfloat16)
                         fn(3).block_until_ready()
                         t0 = time.perf_counter()
                         for i in range(iters):
@@ -205,9 +210,13 @@ def main() -> int:
                         out.block_until_ready()
                         fps = (iters * B * H
                                / (time.perf_counter() - t0) / n_chips)
-                        print(f"pallas rollout ({dt.__name__}, block "
-                              f"{blk}): {fps:,.0f} frames/s/chip")
+                        print(f"pallas rollout (bf16, block {blk}): "
+                              f"{fps:,.0f} frames/s/chip")
                         best = max(best or 0.0, fps)
+                        break  # largest working block wins; stop here
+                    except Exception as e:
+                        print(f"pallas block {blk} failed "
+                              f"({type(e).__name__}); trying smaller")
                 if best and best > fps_per_chip:
                     fps_per_chip = best
         except Exception as e:  # headline must never fail on the probe
