@@ -36,13 +36,22 @@ def main():
     out = {"run": run, "episodes": episodes}
     for mode, lockstep in (("lockstep", True), ("serial", False)):
         cfg = cfg0.with_overrides(mcts_lockstep=lockstep)
+        # compile warm-up: a 2-env-step eval hits every jitted executable at
+        # the measurement shapes (the steady-state number is what repeated
+        # round-3 planning experiments actually pay; the cold time is
+        # reported separately)
+        t0 = time.time()
+        runner.run_planning(cfg.with_overrides(mcts_episode_len=2))
+        warm_s = round(time.time() - t0, 1)
         t0 = time.time()
         res = runner.run_planning(cfg)
         out[mode] = {"wall_s": round(time.time() - t0, 1),
+                     "warmup_s": warm_s,
                      "scores": res.get("episode_scores"),
                      "model_mean": res["model_mean_reward"],
                      "oracle_mean": res["oracle_mean_reward"]}
-        print(f"[{mode}] {out[mode]['wall_s']}s", flush=True)
+        print(f"[{mode}] {out[mode]['wall_s']}s (+{warm_s}s warm-up)",
+              flush=True)
     out["speedup"] = round(out["serial"]["wall_s"]
                            / max(out["lockstep"]["wall_s"], 1e-9), 2)
     ser, lock = out["serial"], out["lockstep"]

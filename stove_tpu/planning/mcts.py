@@ -67,6 +67,22 @@ class Simulator:
         """(states[E,B], keys[E]) → returns (E, B)."""
         raise NotImplementedError
 
+    def round_one(self, states, actions, key, horizon: int):
+        """One FUSED search round, serial tree: split the key 3-ways (as
+        `MCTS.run` did host-side), step the (B,) frontier with split[1],
+        evaluate the children with split[2].  Returns (new_key, next_states,
+        rewards, returns) from a single device call — the tunnel's
+        heavy-tailed dispatch latency makes one call per round worth it."""
+        raise NotImplementedError
+
+    def round_many(self, states, actions, keys_data, horizon: int):
+        """Fused lockstep round: per-episode 3-way key splits + step +
+        evaluate over (E, B) in ONE device call.  `keys_data` is the raw
+        (E, kd) key-data array; returns (new_keys_data[E,kd], next[E,B],
+        rewards[E,B], returns[E,B]).  Bit-identical to a host-side vmapped
+        3-way split + `step_many` + `evaluate_many` with the same keys."""
+        raise NotImplementedError
+
 
 class _Node:
     __slots__ = ("state", "reward", "children", "N", "W")
@@ -205,11 +221,12 @@ class MCTS:
         cfg = self.cfg
         search = _Search(root_state, n_simulations or cfg.mcts_simulations)
         while not search.done:
-            key, k_step, k_eval = jax.random.split(key, 3)
             self._select_round(search)
             stacked, acts = self._stack_frontier(search)
-            nxt, rewards = self.sim.step(stacked, acts, k_step)
-            returns = self.sim.evaluate(nxt, k_eval, cfg.mcts_horizon)
+            # fused split+step+evaluate: one device call per round (the
+            # tunnel's dispatch latency is heavy-tailed; see BASELINE.md)
+            key, nxt, rewards, returns = self.sim.round_one(
+                stacked, acts, key, cfg.mcts_horizon)
             self._apply_round(search, _to_host(nxt),
                               np.asarray(rewards, dtype=np.float64),
                               np.asarray(returns, dtype=np.float64))
@@ -233,10 +250,6 @@ class MCTSLockstep:
         self.sim = sim
         self.cfg = cfg
         self._mcts = MCTS(sim, cfg)
-        # batched per-episode key split on raw key data: vmap(split) equals
-        # E independent splits, in one device call per round
-        self._split3 = jax.jit(jax.vmap(lambda kd: jax.random.key_data(
-            jax.random.split(jax.random.wrap_key_data(kd), 3))))
 
     def run(self, root_states: Sequence, keys: jax.Array,
             n_simulations: Optional[int] = None
@@ -251,16 +264,12 @@ class MCTSLockstep:
         keys_data = np.array(jax.random.key_data(keys))        # (E, kd) copy
 
         while any(not s.done for s in searches):
-            trip = np.asarray(self._split3(keys_data))         # (E, 3, kd)
             active = []
             for e, s in enumerate(searches):
                 if s.done:
                     continue
                 self._mcts._select_round(s)
                 active.append(e)
-            # finished episodes keep their keys (their splits are discarded;
-            # splitting is pure, so this matches the serial chains exactly)
-            keys_data[active] = trip[active, 0]
 
             frontiers = [self._mcts._stack_frontier(searches[e])
                          for e in range(E)]
@@ -268,11 +277,15 @@ class MCTSLockstep:
                 lambda *xs: np.stack(xs, axis=0),
                 *[f[0] for f in frontiers])                 # (E, K·A, ...)
             acts = np.stack([f[1] for f in frontiers], axis=0)
-            k_step = jax.random.wrap_key_data(trip[:, 1])
-            k_eval = jax.random.wrap_key_data(trip[:, 2])
 
-            nxt, rewards = self.sim.step_many(stacked, acts, k_step)
-            returns = self.sim.evaluate_many(nxt, k_eval, cfg.mcts_horizon)
+            # fused per-episode split + step + evaluate: ONE device call per
+            # lockstep round (was three; the tunnel's dispatch latency is
+            # heavy-tailed, so every saved call trims the tail)
+            new_keys, nxt, rewards, returns = self.sim.round_many(
+                stacked, acts, keys_data, cfg.mcts_horizon)
+            # finished episodes keep their keys (their splits are discarded;
+            # splitting is pure, so this matches the serial chains exactly)
+            keys_data[active] = np.asarray(new_keys)[active]
             nxt_np = _to_host(nxt)
             rewards_np = np.asarray(rewards, dtype=np.float64)
             returns_np = np.asarray(returns, dtype=np.float64)

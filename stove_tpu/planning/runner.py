@@ -39,6 +39,12 @@ class EnvHandles:
         self.render = jax.jit(
             lambda s: physics.render(cfg, s.pos, s.radii))
 
+        def _step_render(s, a):
+            nxt, reward = physics.avoidance_step(cfg, s, a)
+            return nxt, reward, physics.render(cfg, nxt.pos, nxt.radii)
+
+        self.step_render = jax.jit(_step_render)
+
 
 def run_episode_model(cfg: Config, model: StoveModel, params,
                       key: jax.Array, episode_len: Optional[int] = None,
@@ -71,9 +77,10 @@ def run_episode_model(cfg: Config, model: StoveModel, params,
         z = inf.z_mean[0, -1]
         action, _counts = planner.run(z, k_plan)
         actions[-1] = action  # applied at the current (last) frame
-        env_state, reward = env.step(env_state, jnp.int32(action))
+        env_state, reward, frame = env.step_render(env_state,
+                                                   jnp.int32(action))
         total += float(reward)
-        frames.append(np.asarray(env.render(env_state)))
+        frames.append(np.asarray(frame))
         actions = np.append(actions, 0)  # placeholder for the new frame
     return total
 
@@ -129,6 +136,12 @@ class BatchedEnvHandles:
         self.render_many = jax.jit(jax.vmap(
             lambda s: physics.render(cfg, s.pos, s.radii)))
 
+        def _step_render(s, a):
+            nxt, reward = physics.avoidance_step(cfg, s, a)
+            return nxt, reward, physics.render(cfg, nxt.pos, nxt.radii)
+
+        self.step_render_many = jax.jit(jax.vmap(_step_render))
+
 
 class _KeyLanes:
     """E per-episode PRNG chains advanced with batched splits.
@@ -175,9 +188,10 @@ def _lockstep_model(cfg: Config, model: StoveModel, params, keys,
         acts, _counts = planner.run([z[e] for e in range(E)], k_plan)
         acts = np.asarray(acts, np.int32)
         actions[:, -1] = acts
-        env_states, rewards = env.step_many(env_states, jnp.asarray(acts))
+        env_states, rewards, frame = env.step_render_many(
+            env_states, jnp.asarray(acts))
         totals += np.asarray(rewards, np.float64)
-        frames.append(np.asarray(env.render_many(env_states)))
+        frames.append(np.asarray(frame))
         actions = np.concatenate(
             [actions, np.zeros((E, 1), np.int32)], axis=1)
     return totals

@@ -87,6 +87,12 @@ class LearnedSimulator(Simulator):
         self._evaluate_many = jax.jit(jax.vmap(
             _evaluate_inner, in_axes=(None, 0, 0, None)),
             static_argnames=("horizon",))
+        self._eval_many_inner = jax.vmap(
+            _evaluate_inner, in_axes=(None, 0, 0, None))
+        self._eval_one_inner = _evaluate_inner
+        self._step_inner = _step_inner
+        self._round_one = None   # built lazily (after pallas override below)
+        self._round_many = None
 
         if cfg.mcts_rollout_impl == "pallas":
             # fused-kernel leaf evaluation: action sequences still come
@@ -139,6 +145,36 @@ class LearnedSimulator(Simulator):
                 lambda p, z, key, horizon: _evaluate_many_pallas(
                     p, z[None], key[None], horizon)[0],
                 static_argnames=("horizon",))
+            self._eval_many_inner = _evaluate_many_pallas
+            self._eval_one_inner = (
+                lambda p, z, key, horizon: _evaluate_many_pallas(
+                    p, z[None], key[None], horizon)[0])
+
+    def _build_rounds(self):
+        """Fused split+step+evaluate rounds (one device call each); built
+        lazily so the pallas evaluate override above is already in place."""
+        step_inner = self._step_inner
+        eval_many_inner = self._eval_many_inner
+        eval_one_inner = self._eval_one_inner
+
+        def round_one(params, states, acts, key, horizon):
+            trip = jax.random.split(key, 3)   # [new chain, k_step, k_eval]
+            nxt, rewards = step_inner(params, states, acts, trip[1])
+            returns = eval_one_inner(params, nxt, trip[2], horizon)
+            return trip[0], nxt, rewards, returns
+
+        def round_many(params, states, acts, keys_data, horizon):
+            trip = jax.vmap(lambda kd: jax.random.key_data(
+                jax.random.split(jax.random.wrap_key_data(kd), 3)))(keys_data)
+            k_step = jax.random.wrap_key_data(trip[:, 1])
+            k_eval = jax.random.wrap_key_data(trip[:, 2])
+            nxt, rewards = jax.vmap(step_inner, in_axes=(None, 0, 0, 0))(
+                params, states, acts, k_step)
+            returns = eval_many_inner(params, nxt, k_eval, horizon)
+            return trip[:, 0], nxt, rewards, returns
+
+        self._round_one = jax.jit(round_one, static_argnames=("horizon",))
+        self._round_many = jax.jit(round_many, static_argnames=("horizon",))
 
     def step(self, states, actions, key):
         return self._step(self.params, states, actions, key)
@@ -151,6 +187,17 @@ class LearnedSimulator(Simulator):
 
     def evaluate_many(self, states, keys, horizon):
         return self._evaluate_many(self.params, states, keys, horizon)
+
+    def round_one(self, states, actions, key, horizon):
+        if self._round_one is None:
+            self._build_rounds()
+        return self._round_one(self.params, states, actions, key, horizon)
+
+    def round_many(self, states, actions, keys_data, horizon):
+        if self._round_many is None:
+            self._build_rounds()
+        return self._round_many(self.params, states, actions, keys_data,
+                                horizon)
 
 
 class TrueSimulator(Simulator):
@@ -194,6 +241,25 @@ class TrueSimulator(Simulator):
             _evaluate_inner, in_axes=(0, 0, None)),
             static_argnames=("horizon",))
 
+        def round_one(states, acts, key, horizon):
+            trip = jax.random.split(key, 3)   # [new chain, k_step, k_eval]
+            nxt, rewards = _step_inner(states, acts, trip[1])
+            returns = _evaluate_inner(nxt, trip[2], horizon)
+            return trip[0], nxt, rewards, returns
+
+        def round_many(states, acts, keys_data, horizon):
+            trip = jax.vmap(lambda kd: jax.random.key_data(
+                jax.random.split(jax.random.wrap_key_data(kd), 3)))(keys_data)
+            k_step = jax.random.wrap_key_data(trip[:, 1])
+            k_eval = jax.random.wrap_key_data(trip[:, 2])
+            nxt, rewards = jax.vmap(_step_inner)(states, acts, k_step)
+            returns = jax.vmap(_evaluate_inner, in_axes=(0, 0, None))(
+                nxt, k_eval, horizon)
+            return trip[:, 0], nxt, rewards, returns
+
+        self._round_one = jax.jit(round_one, static_argnames=("horizon",))
+        self._round_many = jax.jit(round_many, static_argnames=("horizon",))
+
     def step(self, states, actions, key):
         return self._step(states, actions, key)
 
@@ -205,3 +271,9 @@ class TrueSimulator(Simulator):
 
     def evaluate_many(self, states, keys, horizon):
         return self._evaluate_many(states, keys, horizon)
+
+    def round_one(self, states, actions, key, horizon):
+        return self._round_one(states, actions, key, horizon)
+
+    def round_many(self, states, actions, keys_data, horizon):
+        return self._round_many(states, actions, keys_data, horizon)
