@@ -57,6 +57,7 @@ class TestLockstep:
     """Lockstep episode batching must reproduce the serial path exactly
     (same per-episode keys → same per-episode scores; VERDICT r2 #4)."""
 
+    @pytest.mark.slow
     def test_lockstep_matches_serial_all_policies(self):
         from stove_tpu.models.bundle import StoveModel
         from stove_tpu.planning.mcts import MCTSLockstep
