@@ -8,9 +8,9 @@ at a fraction of base and anneal to 1% again for `epochs` more, from the
 trained params (FRESH optimizer state + schedule).
 
 Usage:
-  python scripts/anneal_cycle.py <run_dir> [epochs=120] [lr_frac=0.3]
+  python scripts/anneal_cycle.py <run_dir> [epochs=120] [lr_frac=0.3] [tag]
 
-Writes a new run dir <run>_cyc<N>.
+Writes a new run dir <run>_cyc<N>[tag].
 """
 import sys
 
@@ -25,6 +25,7 @@ def main():
     run = sys.argv[1]
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     lr_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
+    tag = sys.argv[4] if len(sys.argv) > 4 else ""
 
     cfg = ckpt_lib.load_config(run)
     cfg = cfg.with_overrides(
@@ -34,7 +35,7 @@ def main():
         debug_anneal_lr=1.0,
         # anneal_final is relative to the (reduced) base: 0.01/0.3 of the
         # original base ends the cycle at ~3% of the original lr
-        run_name=f"{cfg.run_name}_cyc{epochs}",
+        run_name=f"{cfg.run_name}_cyc{epochs}{tag}",
         restore=None,
     )
 

@@ -17,6 +17,11 @@ import sys
 
 import jax
 
+try:  # persistent compile cache (shared with the planning scripts)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+except Exception:
+    pass
+
 sys.path.insert(0, "/root/repo")
 
 import numpy as np  # noqa: E402
@@ -71,6 +76,33 @@ def main():
             "test_mse8": float(rm["mse_final"]),
             "test_vel_rms": float(rm["handoff_vel_rms"]),
         }
+
+        # POST-REGISTRATION EXTENSION (labeled as such in RESULTS.md): the
+        # 1-step open-loop NLL sigma includes systematic 1-step model bias,
+        # which compounds coherently over 80 steps — calibrate a scalar
+        # temperature on the VALIDATION half (closest |log sampled-ratio|),
+        # report the TEST-half sampled ratio at that temp.
+        if cfg.open_loop_sigma:
+            best_t = None
+            for t in (1.0, 0.7, 0.5, 0.35):
+                m_t = StoveModel(cfg.with_overrides(rollout_sigma_temp=t))
+                v = eval_lib.longhorizon_metrics(
+                    m_t, params, val_ep, jax.random.key(505), t_pred=80,
+                    sample=True)
+                sc = abs(np.log(max(float(v["speed_ratio"]), 1e-6)))
+                print(f"[{run}] temp {t}: val sampled ratio "
+                      f"{float(v['speed_ratio']):.3f}", flush=True)
+                if best_t is None or sc < best_t[1]:
+                    h = eval_lib.longhorizon_metrics(
+                        m_t, params, held_ep, jax.random.key(303), t_pred=80,
+                        sample=True)
+                    best_t = (t, sc, float(h["speed_ratio"]),
+                              float(h["frac_in_frame"]))
+            results[run].update({
+                "calib_temp": best_t[0],
+                "test_ratio_sampled_calib": best_t[2],
+                "test_in_frame_sampled_calib": best_t[3],
+            })
         print(f"[{run}] SELECTED step {best['step']}: "
               f"test mean-ratio {results[run]['test_ratio_mean']:.3f} "
               f"sampled-ratio {results[run]['test_ratio_sampled']:.3f} "

@@ -215,6 +215,12 @@ class Config:
     min_open_std: float = 0.001            # floor for the open-loop std —
     #   deliberately below min_dyn_std: true process noise of the (nearly
     #   deterministic) physics is far smaller than posterior jitter
+    rollout_sigma_temp: float = 1.0        # multiplies the std used by
+    #   rollout(sample=True).  The 1-step open-loop NLL sigma includes the
+    #   model's systematic 1-step bias, which compounds coherently over a
+    #   long horizon rather than as iid noise — a validation-calibrated
+    #   temp < 1 corrects the resulting energy inflation (round-3 gravity
+    #   protocol; see scripts/grav_select.py)
 
     # ---- parallelism / performance ---------------------------------------
     mesh_shape: Tuple[int, ...] = (0,)     # (0,) → all local devices on 'data'

@@ -488,7 +488,8 @@ def rollout(params: Dict, cfg: Config, z0: jnp.ndarray,
         # second head is trained (std_open aliases std otherwise) — the
         # filter std covers posterior jitter and pumps ~2x energy into
         # long sampled rollouts (VERDICT r2 missing #4)
-        z_next = (gaussians.sample(x["key"], dyn.mean, dyn.std_open)
+        z_next = (gaussians.sample(x["key"], dyn.mean,
+                                   dyn.std_open * cfg.rollout_sigma_temp)
                   if sample else dyn.mean)
         return z_next, {"z": z_next, "reward": dyn.reward}
 

@@ -386,3 +386,18 @@ class TestOpenLoopSigma:
                                   jax.random.key(4), sample=True)
         spread = float(jnp.max(jnp.abs(s1[..., 2:4] - s2[..., 2:4])))
         assert spread < 1e-3  # filter std (>= 0.01/step) would far exceed
+
+    def test_rollout_sigma_temp_zero_is_mean(self, cfgm):
+        """rollout_sigma_temp scales the sampled-rollout noise: at temp=0
+        the sampled rollout must equal the mean rollout exactly."""
+        cfg = cfgm.with_overrides(rollout_sigma_temp=0.0)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        z0 = jax.random.normal(jax.random.key(2),
+                               (4, cfg.num_obj, cfg.full_state_dim)) * 0.1
+        s_samp, _ = stove_lib.rollout(params, cfg, z0, None, 5,
+                                      jax.random.key(3), sample=True)
+        s_mean, _ = stove_lib.rollout(params, cfg, z0, None, 5,
+                                      jax.random.key(4), sample=False)
+        np.testing.assert_allclose(np.asarray(s_samp), np.asarray(s_mean),
+                                   rtol=0, atol=1e-6)
