@@ -272,6 +272,13 @@ class Config:
     #   (sigmoid(logit(p)/T)) in the planner's value estimates — a sharp
     #   head's near-binary predictions make branch values flip on small
     #   open-loop errors; smoothing grades them by collision risk
+    mcts_depth_shrink: float = 1.0         # λ ∈ (0, 1]: shrink step-t leaf
+    #   reward predictions toward the base rate π by λ^(t+1).  Counters the
+    #   measured depth-rot of open-loop reward AUC (0.96 → 0.78 over 8
+    #   steps, runs/plan_branch_diag_*.json): deep search argmaxes over
+    #   thousands of depth-6..8 leaf estimates whose discrimination has
+    #   decayed, a Goodhart surface; shrinkage discounts exactly the
+    #   unreliable depths.  1.0 = off.
 
     # ------------------------------------------------------------------ api
     def with_overrides(self, *kv: str, **kwargs) -> "Config":

@@ -52,6 +52,22 @@ class LearnedSimulator(Simulator):
                 q = jax.nn.sigmoid(logit / cfg.mcts_reward_temp)
             return q
 
+        def _depth_shrink(p):
+            """Shrink step-t predictions toward π by λ^(t+1), t = 0..H−1.
+
+            Open-loop reward AUC decays ~0.025/step with rollout depth
+            (branch-diag measurement); deep leaves are the planner's
+            Goodhart surface.  Shrinkage keeps the value's mean level
+            (π) while discounting the unreliable discrimination.  Only
+            the rollout value estimate is shrunk — tree-path step rewards
+            sit at shallow depths where AUC is still 0.93+."""
+            lam = cfg.mcts_depth_shrink
+            if lam >= 1.0:
+                return p
+            pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate or 0.5
+            w = lam ** jnp.arange(1, p.shape[-1] + 1)
+            return pi + (p - pi) * w
+
         def _step_inner(params, z, actions, key):
             states, rewards = model.rollout_raw(
                 params, z, actions[:, None], key, 1, False)
@@ -72,7 +88,8 @@ class LearnedSimulator(Simulator):
             _, rewards = model.rollout_raw(
                 params, z, actions, k_roll, horizon, S > 1)
             disc = cfg.mcts_discount ** jnp.arange(horizon)
-            ret = jnp.sum(_calibrate(rewards) * disc[None, :], axis=1)
+            ret = jnp.sum(_depth_shrink(_calibrate(rewards)) * disc[None, :],
+                          axis=1)
             if S > 1:
                 ret = jnp.mean(ret.reshape(B, S), axis=1)
             return ret
@@ -135,7 +152,8 @@ class LearnedSimulator(Simulator):
                                         block=blk)
                 rew = rew[:n]
                 disc = cfg.mcts_discount ** jnp.arange(horizon)
-                ret = jnp.sum(_calibrate(rew) * disc[None, :], axis=1)
+                ret = jnp.sum(_depth_shrink(_calibrate(rew)) * disc[None, :],
+                              axis=1)
                 ret = ret.reshape(E, B, S).mean(-1)
                 return ret
 

@@ -103,6 +103,43 @@ class TestLockstep:
         np.testing.assert_array_equal(np.asarray(serial_r),
                                       np.asarray(lock_r))
 
+    def test_depth_shrink_pulls_leaf_values_to_base_rate(self):
+        """λ=1 is identity; λ→0 collapses every leaf value to the
+        π-constant return sum(π·γ^t), killing depth-rotted discrimination
+        (the branch-diag-motivated knob, config.mcts_depth_shrink)."""
+        from stove_tpu.models.bundle import StoveModel
+        from stove_tpu.planning.simulators import LearnedSimulator
+
+        base = _cfg(mcts_horizon=4, mcts_reward_base_rate=0.9,
+                    mcts_eval_samples=1)
+        model = StoveModel(base)
+        params = model.init_params()
+        frames = jax.random.uniform(
+            jax.random.key(0), (2, base.window, base.img_size, base.img_size))
+        actions = jnp.zeros((2, base.window), jnp.int32)
+        z = model.infer(params, frames, actions, jax.random.key(1)).z[:, -1]
+        key, H = jax.random.key(5), 4
+
+        v_off = LearnedSimulator(model, params).evaluate(z, key, H)
+        v_id = LearnedSimulator(
+            StoveModel(base.with_overrides(mcts_depth_shrink=1.0)),
+            params).evaluate(z, key, H)
+        np.testing.assert_allclose(np.asarray(v_off), np.asarray(v_id))
+
+        tiny = base.with_overrides(mcts_depth_shrink=1e-6)
+        v0 = LearnedSimulator(StoveModel(tiny), params).evaluate(z, key, H)
+        pi, disc = 0.9, tiny.mcts_discount ** np.arange(H)
+        np.testing.assert_allclose(np.asarray(v0),
+                                   np.full(2, pi * disc.sum()), rtol=1e-4)
+
+        # λ ∈ (0,1): values move strictly toward the π-constant, and
+        # between-state spread shrinks (discrimination discounted)
+        v_mid = LearnedSimulator(
+            StoveModel(base.with_overrides(mcts_depth_shrink=0.5)),
+            params).evaluate(z, key, H)
+        spread = lambda v: float(np.ptp(np.asarray(v)))  # noqa: E731
+        assert spread(v_mid) < spread(v_off) + 1e-9
+
     def test_run_planning_lockstep_smoke(self):
         cfg = _cfg(mcts_simulations=9, mcts_horizon=2, mcts_episode_len=2,
                    mcts_episodes=2, mcts_lockstep=True)
