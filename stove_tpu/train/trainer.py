@@ -325,6 +325,18 @@ class Trainer:
         flat = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
                 for k, v in m.items()}
         self.logger.log(int(self.state.step), "eval", epoch=epoch, **flat)
+        if (self.cfg.supair_only_epochs <= epoch
+                < self.cfg.supair_only_epochs + 4 * max(1, self.cfg.eval_every)
+                and flat.get("detect_mse", 0.0) > 0.05):
+            # seed-specific recognition→dynamics handoff collapse: healthy
+            # runs sit at detect_mse ≈ 0.007 by the first joint-phase eval;
+            # collapsed ones (~0.15) never recover (RESULTS.md round 3,
+            # "Gravity seed 20").  Flag it so the user reseeds instead of
+            # burning the full budget.
+            print(f"[warn] detect_mse={flat['detect_mse']:.3f} at epoch "
+                  f"{epoch}: recognition/tracking handoff failure signature "
+                  "— this seed is unlikely to recover; consider restarting "
+                  "with a different seed", flush=True)
         if not self.cfg.nolog:
             try:
                 self._dump_gif(epoch, key)
