@@ -40,13 +40,18 @@ BUDGETS = [int(x) for x in
            os.environ.get("PS_BUDGETS", "216,864").split(",")]
 LAMBDAS = [float(x) for x in
            os.environ.get("PS_LAMBDAS", "1.0,0.85,0.7,0.55,0.4").split(",")]
+# sampled-leaf arm: each lambda is also run with mcts_eval_samples=S
+# when PS_SAMPLES > 1 (integrates transition noise into leaf values —
+# the round-2 hypothesis that mean rollouts miss collision branches)
+SAMPLES = int(os.environ.get("PS_SAMPLES", "1"))
 
 
 def main():
     run = sys.argv[1] if len(sys.argv) > 1 else "runs/r2a_dense2k"
     episodes = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     name = os.path.basename(run.rstrip("/"))
-    out_path = f"runs/plan_shrink_sweep_{name}.json"
+    tag = os.environ.get("PS_TAG", "")
+    out_path = f"runs/plan_shrink_sweep_{name}{tag}.json"
     cfg0 = ckpt_lib.load_config(run).with_overrides(
         restore=run, nolog=True, mcts_episodes=episodes,
         mcts_episode_len=40, mcts_horizon=8, mcts_lockstep=True)
@@ -82,7 +87,8 @@ def main():
               f"{entry['random_mean']:.2f}  ({time.time()-t0:.0f}s)",
               flush=True)
         for lam in LAMBDAS:
-            cfg_l = cfg_b.with_overrides(mcts_depth_shrink=lam)
+            cfg_l = cfg_b.with_overrides(mcts_depth_shrink=lam,
+                                         mcts_eval_samples=SAMPLES)
             model_l = StoveModel(cfg_l)
             t1 = time.time()
             scores = list(runner._lockstep_model(

@@ -28,4 +28,9 @@ PS_LAMBDAS=1.0,0.85,0.7,0.55 timeout 7200 \
   python scripts/plan_shrink_sweep.py runs/r3p_dense2k 40 \
   2>&1 | grep -v cpu_aot_loader | tail -20
 
+echo "=== sampled-leaf arm (S=8, budget 216) r3p_dense2k $(date +%H:%M:%S) ==="
+PS_TAG=_s8 PS_BUDGETS=216 PS_LAMBDAS=1.0,0.7 PS_SAMPLES=8 timeout 3600 \
+  python scripts/plan_shrink_sweep.py runs/r3p_dense2k 40 \
+  2>&1 | grep -v cpu_aot_loader | tail -10
+
 echo "=== queue8 done $(date +%H:%M:%S) ==="
