@@ -341,8 +341,17 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
     B, T = inf.z.shape[:2]
     S = T - K  # number of start indices
     zero = jnp.zeros((), inf.z.dtype)
-    if K <= 0 or S <= 0:
+    if K <= 0:
         return zero, zero, zero
+    if S <= 0:
+        # K >= window leaves zero valid (t, t+k) pairs: the overshoot,
+        # open-loop-reward AND sigma losses would all silently become 0.0
+        # (this bit a real run: K=12 at window=12 trained a no-overshoot
+        # model that looked configured for deep supervision).  Fail loudly.
+        raise ValueError(
+            f"overshoot_k={K} requires window > K (window={T}): no valid "
+            "open-loop start indices — the overshoot losses would silently "
+            "vanish. Lower overshoot_k or raise window.")
     if actions is None:
         actions = jnp.zeros((B, T), jnp.int32)
 

@@ -331,6 +331,19 @@ class TestOvershoot:
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(g))
 
+    def test_overshoot_k_ge_window_raises(self, cfgm):
+        """K >= window would silently zero the overshoot/reward/sigma
+        losses (bit a real run at K=12, window=12); must fail loudly."""
+        import pytest
+        cfg = cfgm.with_overrides(overshoot_k=cfgm.window)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        frames = jax.random.uniform(jax.random.key(2),
+                                    (2, cfg.window, 32, 32))
+        with pytest.raises(ValueError, match="overshoot_k"):
+            stove_lib.elbo(params, cfg, specs, frames, None, None,
+                           jax.random.key(3))
+
 
 class TestOpenLoopSigma:
     """Second transition std for open-loop rollouts (process noise separate
