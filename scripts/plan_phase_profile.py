@@ -106,10 +106,11 @@ def main():
                 lambda *xs: np.stack(xs, axis=0),
                 *[f[0] for f in frontiers])
             acts = np.stack([f[1] for f in frontiers], axis=0)
+            depths = np.stack([f[2] for f in frontiers], axis=0)
             (t0ph if i == 0 else t)["plan.stack"] += time.time() - tic
             new_keys, nxt, rewards, returns = clock(
                 "plan.round", lambda: sim.round_many(
-                    stacked, acts, keys_data, cfg.mcts_horizon), i)
+                    stacked, acts, keys_data, cfg.mcts_horizon, depths), i)
             keys_data[active] = np.asarray(new_keys)[active]
             nxt_np = clock("plan.to_host", lambda: _to_host(nxt), i)
             rewards_np = np.asarray(rewards, dtype=np.float64)

@@ -279,6 +279,19 @@ class Config:
     #   thousands of depth-6..8 leaf estimates whose discrimination has
     #   decayed, a Goodhart surface; shrinkage discounts exactly the
     #   unreliable depths.  1.0 = off.
+    mcts_shrink_mode: str = "leaf"         # what "depth" means for the λ^d
+    #   shrink exponent:
+    #   leaf — restart at every leaf evaluation (step t of the rollout gets
+    #          λ^(t+1) regardless of where the leaf sits in the tree); tree-
+    #          edge step rewards are never shrunk
+    #   tree — track TOTAL open-loop depth from the root observation: a
+    #          rollout step t from a node at tree depth d gets λ^(d+t+1) and
+    #          the edge reward into depth d gets λ^d.  The AUC rot the shrink
+    #          counters compounds from the root (position error accumulates
+    #          across the whole model rollout), so leaf mode under-shrinks
+    #          deep tree branches and over-shrinks the root frontier; tree
+    #          mode matches the measured rot profile.  With depth 0 the two
+    #          modes coincide (tested).
 
     # ------------------------------------------------------------------ api
     def with_overrides(self, *kv: str, **kwargs) -> "Config":

@@ -67,20 +67,24 @@ class Simulator:
         """(states[E,B], keys[E]) → returns (E, B)."""
         raise NotImplementedError
 
-    def round_one(self, states, actions, key, horizon: int):
+    def round_one(self, states, actions, key, horizon: int, depths=None):
         """One FUSED search round, serial tree: split the key 3-ways (as
         `MCTS.run` did host-side), step the (B,) frontier with split[1],
         evaluate the children with split[2].  Returns (new_key, next_states,
         rewards, returns) from a single device call — the tunnel's
-        heavy-tailed dispatch latency makes one call per round worth it."""
+        heavy-tailed dispatch latency makes one call per round worth it.
+        `depths` (B,) int32 gives each child's tree depth from the root;
+        only tree-mode depth shrink consumes it (others ignore it)."""
         raise NotImplementedError
 
-    def round_many(self, states, actions, keys_data, horizon: int):
+    def round_many(self, states, actions, keys_data, horizon: int,
+                   depths=None):
         """Fused lockstep round: per-episode 3-way key splits + step +
         evaluate over (E, B) in ONE device call.  `keys_data` is the raw
         (E, kd) key-data array; returns (new_keys_data[E,kd], next[E,B],
         rewards[E,B], returns[E,B]).  Bit-identical to a host-side vmapped
-        3-way split + `step_many` + `evaluate_many` with the same keys."""
+        3-way split + `step_many` + `evaluate_many` with the same keys.
+        `depths` (E, B) as in `round_one`."""
         raise NotImplementedError
 
 
@@ -161,19 +165,25 @@ class MCTS:
 
     def _stack_frontier(self, search: _Search):
         """Stack the selected leaves' states into a fixed (K·A, ...) numpy
-        batch (padded by duplicating the last leaf) plus the action vector.
-        An empty selection (finished lockstep episode) stacks the root as a
-        dummy whose results are discarded."""
+        batch (padded by duplicating the last leaf) plus the action vector
+        and each child's tree depth (= open-loop steps from the root; used
+        by tree-mode depth shrink, ignored otherwise).  An empty selection
+        (finished lockstep episode) stacks the root as a dummy whose results
+        are discarded."""
         A = self.sim.num_actions
         K = max(1, self.cfg.mcts_frontier)
-        k = len(search.leaves)
         states = [leaf.state for leaf in search.leaves] or [search.root.state]
         states = states + [states[-1]] * (K - len(states))
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.repeat(np.concatenate(xs, axis=0), A, axis=0),
             *states)                                            # (K·A, ...)
         acts = np.tile(np.arange(A, dtype=np.int32), K)
-        return stacked, acts
+        # child depth = leaf depth + 1; path includes the root, so leaf
+        # depth is len(path) - 1
+        leaf_depths = [len(p) for p in search.paths] or [1]
+        leaf_depths = leaf_depths + [leaf_depths[-1]] * (K - len(leaf_depths))
+        depths = np.repeat(np.asarray(leaf_depths, dtype=np.int32), A)
+        return stacked, acts, depths
 
     def _apply_round(self, search: _Search, nxt_np, rewards_np,
                      returns_np) -> None:
@@ -222,11 +232,11 @@ class MCTS:
         search = _Search(root_state, n_simulations or cfg.mcts_simulations)
         while not search.done:
             self._select_round(search)
-            stacked, acts = self._stack_frontier(search)
+            stacked, acts, depths = self._stack_frontier(search)
             # fused split+step+evaluate: one device call per round (the
             # tunnel's dispatch latency is heavy-tailed; see BASELINE.md)
             key, nxt, rewards, returns = self.sim.round_one(
-                stacked, acts, key, cfg.mcts_horizon)
+                stacked, acts, key, cfg.mcts_horizon, depths)
             self._apply_round(search, _to_host(nxt),
                               np.asarray(rewards, dtype=np.float64),
                               np.asarray(returns, dtype=np.float64))
@@ -277,12 +287,13 @@ class MCTSLockstep:
                 lambda *xs: np.stack(xs, axis=0),
                 *[f[0] for f in frontiers])                 # (E, K·A, ...)
             acts = np.stack([f[1] for f in frontiers], axis=0)
+            depths = np.stack([f[2] for f in frontiers], axis=0)
 
             # fused per-episode split + step + evaluate: ONE device call per
             # lockstep round (was three; the tunnel's dispatch latency is
             # heavy-tailed, so every saved call trims the tail)
             new_keys, nxt, rewards, returns = self.sim.round_many(
-                stacked, acts, keys_data, cfg.mcts_horizon)
+                stacked, acts, keys_data, cfg.mcts_horizon, depths)
             # finished episodes keep their keys (their splits are discarded;
             # splitting is pure, so this matches the serial chains exactly)
             keys_data[active] = np.asarray(new_keys)[active]

@@ -52,28 +52,48 @@ class LearnedSimulator(Simulator):
                 q = jax.nn.sigmoid(logit / cfg.mcts_reward_temp)
             return q
 
-        def _depth_shrink(p):
-            """Shrink step-t predictions toward π by λ^(t+1), t = 0..H−1.
+        def _depth_shrink(p, depths=None):
+            """Shrink step-t predictions toward π by λ^depth, t = 0..H−1.
 
             Open-loop reward AUC decays ~0.025/step with rollout depth
             (branch-diag measurement); deep leaves are the planner's
             Goodhart surface.  Shrinkage keeps the value's mean level
-            (π) while discounting the unreliable discrimination.  Only
-            the rollout value estimate is shrunk — tree-path step rewards
-            sit at shallow depths where AUC is still 0.93+."""
+            (π) while discounting the unreliable discrimination.
+
+            leaf mode (depths is None): depth = t+1, restarting at every
+            leaf — tree-path step rewards are never shrunk.  tree mode
+            (depths = (B,) tree depth of each rollout's start state):
+            depth = depths+t+1, the TOTAL open-loop step count from the
+            root observation, matching how the rot actually compounds."""
             lam = cfg.mcts_depth_shrink
             if lam >= 1.0:
                 return p
             pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate or 0.5
             w = lam ** jnp.arange(1, p.shape[-1] + 1)
+            if depths is not None:
+                w = w * lam ** depths[:, None].astype(p.dtype)
             return pi + (p - pi) * w
+
+        def _edge_shrink(r, depths):
+            """tree mode: shrink the edge reward INTO tree depth d by λ^d
+            (it is the d-th open-loop prediction from the root)."""
+            lam = cfg.mcts_depth_shrink
+            if lam >= 1.0 or depths is None \
+                    or cfg.mcts_shrink_mode != "tree":
+                return r
+            pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate or 0.5
+            return pi + (r - pi) * lam ** depths.astype(r.dtype)
+
+        self._edge_shrink = _edge_shrink
+        self._tree_mode = (cfg.mcts_shrink_mode == "tree"
+                           and cfg.mcts_depth_shrink < 1.0)
 
         def _step_inner(params, z, actions, key):
             states, rewards = model.rollout_raw(
                 params, z, actions[:, None], key, 1, False)
             return states[:, 0], _calibrate(rewards[:, 0])
 
-        def _evaluate_inner(params, z, key, horizon):
+        def _evaluate_inner(params, z, key, horizon, depths=None):
             k_act, k_roll = jax.random.split(key)
             B = z.shape[0]
             S = max(1, cfg.mcts_eval_samples)
@@ -83,13 +103,16 @@ class LearnedSimulator(Simulator):
                 # states; sampling integrates over the transition noise.
                 # One device call either way (leaf batch tiled by S).
                 z = jnp.repeat(z, S, axis=0)
+                if depths is not None:
+                    depths = jnp.repeat(depths, S, axis=0)
             actions = jax.random.randint(
                 k_act, (B * S, horizon), 0, cfg.num_actions)
             _, rewards = model.rollout_raw(
                 params, z, actions, k_roll, horizon, S > 1)
             disc = cfg.mcts_discount ** jnp.arange(horizon)
-            ret = jnp.sum(_depth_shrink(_calibrate(rewards)) * disc[None, :],
-                          axis=1)
+            ret = jnp.sum(
+                _depth_shrink(_calibrate(rewards), depths) * disc[None, :],
+                axis=1)
             if S > 1:
                 ret = jnp.mean(ret.reshape(B, S), axis=1)
             return ret
@@ -106,12 +129,19 @@ class LearnedSimulator(Simulator):
             static_argnames=("horizon",))
         self._eval_many_inner = jax.vmap(
             _evaluate_inner, in_axes=(None, 0, 0, None))
+        self._eval_many_inner_d = jax.vmap(
+            _evaluate_inner, in_axes=(None, 0, 0, None, 0))
         self._eval_one_inner = _evaluate_inner
         self._step_inner = _step_inner
         self._round_one = None   # built lazily (after pallas override below)
         self._round_many = None
 
         if cfg.mcts_rollout_impl == "pallas":
+            if self._tree_mode:
+                raise ValueError(
+                    "mcts_shrink_mode='tree' needs per-leaf depth inputs, "
+                    "which the fused pallas rollout kernel does not take; "
+                    "use mcts_rollout_impl='xla' with tree mode.")
             # fused-kernel leaf evaluation: action sequences still come
             # from the same per-episode keys (CRN semantics preserved);
             # values match XLA up to matmul precision on mean leaves
@@ -170,25 +200,43 @@ class LearnedSimulator(Simulator):
 
     def _build_rounds(self):
         """Fused split+step+evaluate rounds (one device call each); built
-        lazily so the pallas evaluate override above is already in place."""
+        lazily so the pallas evaluate override above is already in place.
+        In tree-mode shrink the rounds additionally consume each child's
+        tree depth (edge rewards shrunk by λ^d, rollouts by λ^(d+t+1));
+        otherwise depth inputs never reach the jitted fns, keeping the
+        leaf-mode traces (and lockstep bit-identity) exactly as before."""
         step_inner = self._step_inner
         eval_many_inner = self._eval_many_inner
+        eval_many_inner_d = self._eval_many_inner_d
         eval_one_inner = self._eval_one_inner
+        edge_shrink = self._edge_shrink
+        tree_mode = self._tree_mode
 
-        def round_one(params, states, acts, key, horizon):
+        def round_one(params, states, acts, key, horizon, depths=None):
             trip = jax.random.split(key, 3)   # [new chain, k_step, k_eval]
             nxt, rewards = step_inner(params, states, acts, trip[1])
-            returns = eval_one_inner(params, nxt, trip[2], horizon)
+            if tree_mode:
+                rewards = edge_shrink(rewards, depths)
+                returns = eval_one_inner(params, nxt, trip[2], horizon,
+                                         depths)
+            else:
+                returns = eval_one_inner(params, nxt, trip[2], horizon)
             return trip[0], nxt, rewards, returns
 
-        def round_many(params, states, acts, keys_data, horizon):
+        def round_many(params, states, acts, keys_data, horizon,
+                       depths=None):
             trip = jax.vmap(lambda kd: jax.random.key_data(
                 jax.random.split(jax.random.wrap_key_data(kd), 3)))(keys_data)
             k_step = jax.random.wrap_key_data(trip[:, 1])
             k_eval = jax.random.wrap_key_data(trip[:, 2])
             nxt, rewards = jax.vmap(step_inner, in_axes=(None, 0, 0, 0))(
                 params, states, acts, k_step)
-            returns = eval_many_inner(params, nxt, k_eval, horizon)
+            if tree_mode:
+                rewards = edge_shrink(rewards, depths)  # elementwise: (E,B)
+                returns = eval_many_inner_d(params, nxt, k_eval, horizon,
+                                            depths)
+            else:
+                returns = eval_many_inner(params, nxt, k_eval, horizon)
             return trip[:, 0], nxt, rewards, returns
 
         self._round_one = jax.jit(round_one, static_argnames=("horizon",))
@@ -206,14 +254,20 @@ class LearnedSimulator(Simulator):
     def evaluate_many(self, states, keys, horizon):
         return self._evaluate_many(self.params, states, keys, horizon)
 
-    def round_one(self, states, actions, key, horizon):
+    def round_one(self, states, actions, key, horizon, depths=None):
         if self._round_one is None:
             self._build_rounds()
+        if self._tree_mode:
+            return self._round_one(self.params, states, actions, key,
+                                   horizon, depths)
         return self._round_one(self.params, states, actions, key, horizon)
 
-    def round_many(self, states, actions, keys_data, horizon):
+    def round_many(self, states, actions, keys_data, horizon, depths=None):
         if self._round_many is None:
             self._build_rounds()
+        if self._tree_mode:
+            return self._round_many(self.params, states, actions, keys_data,
+                                    horizon, depths)
         return self._round_many(self.params, states, actions, keys_data,
                                 horizon)
 
@@ -290,8 +344,9 @@ class TrueSimulator(Simulator):
     def evaluate_many(self, states, keys, horizon):
         return self._evaluate_many(states, keys, horizon)
 
-    def round_one(self, states, actions, key, horizon):
+    def round_one(self, states, actions, key, horizon, depths=None):
+        # the oracle has no open-loop rot; depth inputs are ignored
         return self._round_one(states, actions, key, horizon)
 
-    def round_many(self, states, actions, keys_data, horizon):
+    def round_many(self, states, actions, keys_data, horizon, depths=None):
         return self._round_many(states, actions, keys_data, horizon)

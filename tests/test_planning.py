@@ -140,6 +140,56 @@ class TestLockstep:
         spread = lambda v: float(np.ptp(np.asarray(v)))  # noqa: E731
         assert spread(v_mid) < spread(v_off) + 1e-9
 
+    def test_tree_shrink_depth_zero_matches_leaf_mode(self):
+        """mcts_shrink_mode='tree' tracks TOTAL open-loop depth: at depth 0
+        it must coincide exactly with leaf mode (config.py contract), at
+        depth d>0 it shrinks rollout returns and edge rewards harder —
+        pulling both toward the π-constant — and a tree-mode MCTS search
+        runs end-to-end."""
+        from stove_tpu.models.bundle import StoveModel
+        from stove_tpu.planning.simulators import LearnedSimulator
+
+        base = _cfg(mcts_horizon=4, mcts_reward_base_rate=0.9,
+                    mcts_eval_samples=1, mcts_depth_shrink=0.5)
+        model = StoveModel(base)
+        params = model.init_params()
+        frames = jax.random.uniform(
+            jax.random.key(0), (4, base.window, base.img_size, base.img_size))
+        actions = jnp.zeros((4, base.window), jnp.int32)
+        z = model.infer(params, frames, actions, jax.random.key(1)).z[:, -1]
+        acts = jnp.arange(4, dtype=jnp.int32) % base.num_actions
+        key, H, pi = jax.random.key(5), 4, 0.9
+
+        sim_leaf = LearnedSimulator(model, params)
+        tree = base.with_overrides(mcts_shrink_mode="tree")
+        sim_tree = LearnedSimulator(StoveModel(tree), params)
+
+        _, nxt_l, rew_l, ret_l = sim_leaf.round_one(z, acts, key, H)
+        zero = jnp.zeros(4, jnp.int32)
+        _, nxt_t, rew_t, ret_t = sim_tree.round_one(z, acts, key, H, zero)
+        np.testing.assert_allclose(np.asarray(ret_t), np.asarray(ret_l),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rew_t), np.asarray(rew_l),
+                                   rtol=1e-6)
+
+        deep = jnp.full(4, 6, jnp.int32)
+        _, _, rew_d, ret_d = sim_tree.round_one(z, acts, key, H, deep)
+        # deeper start ⇒ strictly closer to the π-constant than depth 0
+        disc = tree.mcts_discount ** np.arange(H)
+        const = pi * disc.sum()
+        assert np.all(np.abs(np.asarray(ret_d) - const)
+                      <= np.abs(np.asarray(ret_l) - const) + 1e-9)
+        assert np.all(np.abs(np.asarray(rew_d) - pi)
+                      <= np.abs(np.asarray(rew_l) - pi) + 1e-9)
+
+        # end-to-end search with tree mode (depths generated by the MCTS)
+        from stove_tpu.planning.mcts import MCTS
+        planner = MCTS(sim_tree, tree)
+        action, counts = planner.run(
+            jax.tree_util.tree_map(lambda x: x[0], z), jax.random.key(9),
+            n_simulations=18)
+        assert 0 <= action < tree.num_actions
+
     def test_run_planning_lockstep_smoke(self):
         cfg = _cfg(mcts_simulations=9, mcts_horizon=2, mcts_episode_len=2,
                    mcts_episodes=2, mcts_lockstep=True)
