@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from stove_tpu.config import Config, PRESETS, make_config
@@ -101,6 +103,7 @@ class TestPresets:
 
 
 class TestVizMode:
+    @pytest.mark.slow
     def test_cli_viz_from_checkpoint(self, tmp_path):
         """mode=viz end-to-end: train 1 tiny epoch, render gif + grid."""
         from stove_tpu.main import main

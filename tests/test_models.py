@@ -288,6 +288,7 @@ class TestStove:
 
 
 class TestPrecision:
+    @pytest.mark.slow
     def test_bfloat16_compute_path(self, cfgm):
         """bf16 matmul path: finite loss close to f32, finite grads."""
         import jax
@@ -318,6 +319,7 @@ class TestOvershoot:
                              jax.random.key(12))
         assert float(out.overshoot_loss) == 0.0
 
+    @pytest.mark.slow
     def test_overshoot_positive_and_differentiable(self, cfgm):
         cfg = cfgm.with_overrides(overshoot_k=3)
         specs = stove_lib.make_specs(jax.random.key(0), cfg)

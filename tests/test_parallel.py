@@ -41,6 +41,7 @@ class TestMesh:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_sharded_grad_matches_single_device(self, mesh8):
         """Data-parallel grads via sharded jit == single-device grads."""
         from stove_tpu.models import stove as stove_lib
@@ -66,6 +67,7 @@ class TestShardedTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-5)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys
         sys.path.insert(0, "/root/repo")

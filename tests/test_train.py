@@ -135,6 +135,7 @@ class TestOptimizer:
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_same_seed_same_loss(self, tmp_path):
         """Full training determinism: same seed → identical metrics."""
         from stove_tpu.train.trainer import Trainer
