@@ -191,10 +191,11 @@ class Config:
     #   the t-frame std only (round-1 behavior; A/B'd in RESULTS.md)
     velocity_obs: str = "encoder"          # q(v)'s observation source:
     #   encoder  — difference of raw encoder position means (original)
-    #   filtered — difference of the POSTERIOR position means (the filtered
-    #              positions are ~2× more accurate than raw encoder output,
-    #              so their difference is a strictly better velocity
-    #              observation; measured 0.0117 vs 0.0169 rms at handoff)
+    #   filtered — difference of the POSTERIOR position means.  At handoff
+    #              the filtered velocity is more accurate (0.0117 vs 0.0169
+    #              rms) but END-TO-END it is mse@8-NEUTRAL (RESULTS.md
+    #              "velocity-posterior study": the dynamics net absorbs the
+    #              handoff noise either way) — kept as an option, not a win
     size_std: float = 0.01                 # carried-size transition std
     overshoot_k: int = 0                   # latent overshooting horizon (0=off)
     overshoot_weight: float = 1.0          # weight of the k-step position loss
@@ -382,9 +383,14 @@ PRESETS = {
     "stove_avoidance": dict(task="avoidance", num_obj=3, run_name="stove_avoid",
                             action_conditioned=True, reward_head=True,
                             overshoot_k=4, overshoot_weight=100.0),
-    # 5. MCTS planning in avoidance env using jitted model rollouts
+    # 5. MCTS planning in avoidance env using jitted model rollouts.
+    #    Encodes the measured-best round-3 recipe (RESULTS.md fine-λ table,
+    #    80 episodes: 864 simulations at λ∈[0.55, 0.65] is the optimum —
+    #    more search re-Goodharts, λ=1 leaves ~0.8 reward on the table; at
+    #    the reference-scale 54-sim budget the shrink is near-neutral).
     "mcts_avoidance": dict(task="avoidance", num_obj=3, run_name="mcts_avoid",
-                           action_conditioned=True, reward_head=True),
+                           action_conditioned=True, reward_head=True,
+                           mcts_simulations=864, mcts_depth_shrink=0.55),
     # denser variant: collisions frequent enough that a random policy fails
     # visibly — the planning benchmark environment (paper-style difficulty)
     "avoidance_dense": dict(task="avoidance", num_obj=3, run_name="avoid_dense",

@@ -342,6 +342,15 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
     S = T - K  # number of start indices
     zero = jnp.zeros((), inf.z.dtype)
     if K <= 0:
+        if cfg.open_loop_sigma:
+            # the sigma-open NLL lives inside this machinery: with K=0 the
+            # 'open' head would stay at init (mid-range bounded std of
+            # random features) while rollout(sample=True) consumes it —
+            # silently mis-calibrated sampled rollouts (round-3 advisor).
+            raise ValueError(
+                "open_loop_sigma=True requires overshoot_k >= 1: the "
+                "sigma-open NLL is computed inside the overshoot loss, so "
+                "with overshoot_k=0 the open-loop std head never trains.")
         return zero, zero, zero
     if S <= 0:
         # K >= window leaves zero valid (t, t+k) pairs: the overshoot,

@@ -20,7 +20,7 @@ evaluation: per-step one-hot action rows are two extra matmul terms, and
 the geometry-aware reward head's pairwise distances are O(O²) elementwise
 (1, TB) row ops).  Sampled rollouts draw transition noise from the on-core
 PRNG (Box-Muller), injecting the same std the XLA path uses (std_open when
-cfg.open_loop_sigma).  Mean rollouts are bit-comparable to XLA up to
+cfg.open_loop_sigma, scaled by cfg.rollout_sigma_temp like stove.rollout).  Mean rollouts are bit-comparable to XLA up to
 matmul precision (kernel matmuls run bf16xbf16→f32 by default; the f32
 variant pins Precision.HIGHEST for exact-tolerance tests).
 
@@ -129,15 +129,30 @@ _REWARD_PARAMS = ("w_rw_s", "w_rw_r", "w_rw_g", "w_rw_d", "b_rw0", "w_rw1",
                   "w_ra21", "b_ra21", "w_ra22", "b_ra22")
 
 
-def _normals(shape):
-    """Standard normals from the on-core PRNG via Box-Muller."""
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    # top 24 bits → uniform in [0, 1): exact in f32
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+def _bits_to_normals(b1, b2):
+    """Box-Muller on two SIGNED int32 random-bit tensors.
+
+    `pltpu.prng_random_bits` returns SIGNED int32, so the shift must be
+    LOGICAL: an arithmetic `>> 8` leaves half the draws negative and the
+    `maximum(·, 1e-12)` collapses them to an atom — measured std 3.83
+    with 26% of draws beyond 5σ (round-3 advisor finding, high).  The
+    logical shift keeps the top 24 bits as a uniform in [0, 1), exact in
+    f32.  Pure jnp so the CPU test suite can drive it with threefry bits
+    (tests/test_pallas.py moment test); silicon moments are checked by
+    scripts/pallas_rollout_probe.py.
+    """
+    u1 = jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
+    u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
     u1 = jnp.maximum(u1, 1e-12)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _normals(shape):
+    """Standard normals from the on-core PRNG via Box-Muller."""
+    return _bits_to_normals(pltpu.prng_random_bits(shape),
+                            pltpu.prng_random_bits(shape))
 
 
 def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
@@ -151,6 +166,11 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
     lo = cfg.min_open_std if use_open else cfg.min_dyn_std
     hi = cfg.max_dyn_std
     size_std = cfg.size_std
+    # the XLA path samples with std * rollout_sigma_temp (stove.py:500);
+    # the kernel must inject the SAME std or the two impls silently
+    # diverge under the round-3 gravity recipe (temp < 1) — round-3
+    # advisor finding (medium)
+    sigma_temp = cfg.rollout_sigma_temp
     latent_residual = cfg.latent_residual
 
     # f32 weights → true f32 matmuls (3-pass); otherwise single-pass bf16.
@@ -260,7 +280,7 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                     std = jnp.concatenate(
                         [jnp.full((2, TB), size_std, jnp.float32), std_pvl],
                         axis=0)
-                    mean = mean + std * _normals((D, TB))
+                    mean = mean + (sigma_temp * std) * _normals((D, TB))
                 zs.append(mean)
 
             if reward_on:

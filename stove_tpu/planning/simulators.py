@@ -52,6 +52,14 @@ class LearnedSimulator(Simulator):
                 q = jax.nn.sigmoid(logit / cfg.mcts_reward_temp)
             return q
 
+        # shrink target: first POSITIVE rate wins (`or`-chaining is wrong
+        # here — the documented A/B control reward_pos_rate=-1 is truthy
+        # and would pull probabilities toward -1; round-3 advisor finding)
+        shrink_pi = next(
+            (r for r in (cfg.mcts_reward_base_rate, cfg.reward_pos_rate)
+             if r > 0), 0.5)
+        self._shrink_pi = shrink_pi  # exposed for the regression test
+
         def _depth_shrink(p, depths=None):
             """Shrink step-t predictions toward π by λ^depth, t = 0..H−1.
 
@@ -68,7 +76,7 @@ class LearnedSimulator(Simulator):
             lam = cfg.mcts_depth_shrink
             if lam >= 1.0:
                 return p
-            pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate or 0.5
+            pi = shrink_pi
             w = lam ** jnp.arange(1, p.shape[-1] + 1)
             if depths is not None:
                 w = w * lam ** depths[:, None].astype(p.dtype)
@@ -81,7 +89,7 @@ class LearnedSimulator(Simulator):
             if lam >= 1.0 or depths is None \
                     or cfg.mcts_shrink_mode != "tree":
                 return r
-            pi = cfg.mcts_reward_base_rate or cfg.reward_pos_rate or 0.5
+            pi = shrink_pi
             return pi + (r - pi) * lam ** depths.astype(r.dtype)
 
         self._edge_shrink = _edge_shrink
@@ -167,10 +175,13 @@ class LearnedSimulator(Simulator):
                 n = flat_z.shape[0]
                 pad = (-n) % blk
                 if pad:
-                    flat_z = jnp.concatenate(
-                        [flat_z, flat_z[:pad]], axis=0)
-                    flat_a = jnp.concatenate(
-                        [flat_a, flat_a[:pad]], axis=0)
+                    # zero-pad (NOT flat_z[:pad]: that yields < pad rows
+                    # whenever pad > n — any small batch, e.g. the serial
+                    # path's K·A=36 frontier — and rollout_act raises;
+                    # round-3 advisor finding).  Padded rows roll out
+                    # garbage that rew[:n] discards.
+                    flat_z = jnp.pad(flat_z, ((0, pad), (0, 0), (0, 0)))
+                    flat_a = jnp.pad(flat_a, ((0, pad), (0, 0)))
                 # kernel noise seed varies with the first episode's roll
                 # key (only used when S > 1; sampled-leaf noise is
                 # distribution-level, not bit-identical to threefry)

@@ -116,6 +116,34 @@ class TestPallasRollout:
                             interpret=True)
         assert err < 1e-4, err
 
+    def test_box_muller_moments_with_signed_bits(self):
+        """_bits_to_normals must handle SIGNED int32 bits correctly.
+
+        Regression for the round-3 advisor high finding: an arithmetic
+        `>> 8` on the kernel PRNG's signed int32 output produced 'normals'
+        with std 3.83 and 26% of draws beyond 5σ.  Drive the (pure-jnp)
+        transform with full-range signed threefry bits and check moments.
+        """
+        import numpy as np
+
+        from stove_tpu.ops.pallas_rollout import _bits_to_normals
+
+        k1, k2 = jax.random.split(jax.random.key(11))
+        shape = (512, 512)
+        b1 = jax.random.randint(k1, shape, -(2 ** 31), 2 ** 31 - 1,
+                                dtype=jnp.int32)
+        b2 = jax.random.randint(k2, shape, -(2 ** 31), 2 ** 31 - 1,
+                                dtype=jnp.int32)
+        x = np.asarray(_bits_to_normals(b1, b2)).ravel()
+        n = x.size
+        assert abs(x.mean()) < 5.0 / np.sqrt(n), x.mean()
+        assert abs(x.std() - 1.0) < 0.01, x.std()
+        # P(|N|>5) ≈ 5.7e-7: with n=262144 expect ~0.15 such draws
+        assert (np.abs(x) > 5.0).mean() < 1e-4, (np.abs(x) > 5.0).mean()
+        # the old bug collapsed negative draws onto a u1=1e-12 atom at
+        # |x| = sqrt(-2 log 1e-12) ≈ 7.43 — assert the atom is gone
+        assert (np.abs(x) > 6.5).sum() == 0
+
     def test_action_reward_rollout_matches_xla(self):
         import jax.numpy as jnp
 
