@@ -15,6 +15,9 @@ import json
 import os
 import sys
 
+TAG = os.environ.get("GS_TAG", "")
+OUT = f"runs/grav_select{TAG}.json"
+
 import jax
 
 try:  # persistent compile cache (shared with the planning scripts)
@@ -107,9 +110,9 @@ def main():
               f"test mean-ratio {results[run]['test_ratio_mean']:.3f} "
               f"sampled-ratio {results[run]['test_ratio_sampled']:.3f} "
               f"mse@8 {results[run]['test_mse8']:.4f}", flush=True)
-        with open("runs/grav_select.json", "w") as f:
+        with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
-    print("wrote runs/grav_select.json", flush=True)
+    print(f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,11 @@ LAMBDAS = [float(x) for x in
 # when PS_SAMPLES > 1 (integrates transition noise into leaf values —
 # the round-2 hypothesis that mean rollouts miss collision branches)
 SAMPLES = int(os.environ.get("PS_SAMPLES", "1"))
+# PS_MODE=tree switches the shrink exponent to TOTAL open-loop depth from
+# the root (leaf mode restarts at every leaf and never shrinks tree-edge
+# rewards; RESULTS.md round-3 analysis flags leaf mode as under-shrinking
+# exactly at the deep budgets the recipe uses — VERDICT r4 task 2)
+MODE = os.environ.get("PS_MODE", "leaf")
 
 
 def main():
@@ -88,7 +93,8 @@ def main():
               flush=True)
         for lam in LAMBDAS:
             cfg_l = cfg_b.with_overrides(mcts_depth_shrink=lam,
-                                         mcts_eval_samples=SAMPLES)
+                                         mcts_eval_samples=SAMPLES,
+                                         mcts_shrink_mode=MODE)
             model_l = StoveModel(cfg_l)
             t1 = time.time()
             scores = list(runner._lockstep_model(

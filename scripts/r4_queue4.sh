@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-4 queue 4: close the resistant-seed loop (VERDICT r4 task 5) +
+# widen the rescue-protocol evidence (task 8).
+#  1. pre-registered early-restart protocol on 5 FRESH seeds per task
+#     (scripts/restart_protocol.py documents triggers + thresholds).
+#  2. anneal-cycle rescue applied to the two round-2 plateau billiards
+#     runs already on disk (r2a/r2f seeds out of basin) -> rescue table
+#     n=2 -> n>=4.
+set -u
+cd /root/repo
+if [ -f /tmp/r4_queue2.pid ]; then
+  while kill -0 $(cat /tmp/r4_queue2.pid) 2>/dev/null; do sleep 60; done
+fi
+
+echo "=== restart protocol: gravity seeds 30-34 $(date +%H:%M:%S) ==="
+timeout 21600 python scripts/restart_protocol.py gravity 30 31 32 33 34 \
+  2>&1 | tail -30
+
+echo "=== restart protocol: billiards seeds 15-19 $(date +%H:%M:%S) ==="
+timeout 28800 python scripts/restart_protocol.py billiards 15 16 17 18 19 \
+  2>&1 | tail -30
+
+# the three round-2 plateau runs on disk (final mse@8: r2a_s2 0.0431,
+# r2a_s4 0.0555, r2f_s1 0.0413) -> rescue trials n=2 -> n=5
+echo "=== rescue evidence: round-2 plateau seeds $(date +%H:%M:%S) ==="
+for r in r2a_bil_seed2 r2a_bil_seed4 r2f_bil_seed1; do
+  if [ -d runs/$r ]; then
+    timeout 2700 python scripts/anneal_cycle.py runs/$r 120 0.3 2>&1 | tail -2
+  fi
+done
+
+echo "=== posthoc: protocol + rescue outcomes $(date +%H:%M:%S) ==="
+timeout 3600 python scripts/posthoc_eval.py \
+  $(ls -d runs/r4rp_bill_s* runs/*_cyc120 2>/dev/null) 2>&1 | tail -30
+
+echo "=== queue4 done $(date +%H:%M:%S) ==="

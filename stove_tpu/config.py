@@ -213,6 +213,17 @@ class Config:
     #   ~2x energy inflation of sampled long-horizon rollouts (VERDICT r2
     #   missing #4).  Requires overshoot_k >= 1.
     open_loop_sigma_weight: float = 1.0    # weight of the sigma-open NLL
+    open_loop_sigma_horizons: Tuple[int, ...] = (1, 4, 8)  # horizons k of
+    #   the open-loop sigma NLL: posterior means at t+k are scored under
+    #   N(mean-rollout_k, sqrt(Σ_j σ_open,j²)) — the accumulated variance a
+    #   sampled rollout would actually inject over k steps.  The round-3
+    #   1-step-only fit (≡ horizons=(1,)) bakes the model's systematic
+    #   1-step bias + posterior-mean target noise into σ, which a sampled
+    #   rollout then RE-injects as fresh iid noise every step — measured
+    #   1.9–3.2× energy over-injection on 2/4 gravity seeds, patched by a
+    #   hand-swept rollout_sigma_temp (round-3 caveat).  Fitting the same
+    #   σ at k ∈ {1,4,8} forces it to match the dispersion sampled
+    #   rollouts are evaluated at.  Horizons > window−2 are dropped.
     min_open_std: float = 0.001            # floor for the open-loop std —
     #   deliberately below min_dyn_std: true process noise of the (nearly
     #   deterministic) physics is far smaller than posterior jitter

@@ -379,23 +379,44 @@ def overshoot_losses(params: Dict, cfg: Config, inf: InferOut,
     total_pos, total_rew, sigma_nll = zero, zero, zero
 
     if cfg.open_loop_sigma and T >= 3:
-        # 1-step open-loop NLL for the process-noise std: predict from the
-        # posterior MEAN at t and score the posterior MEAN at t+1 under
-        # N(pred, σ_open) — mean-to-mean, so σ_open captures model/process
-        # noise WITHOUT the posterior-sample jitter that inflates the
-        # filter std (and sampled long rollouts, VERDICT r2 missing #4).
-        # Start at t=1 (t=0 velocity is mirrored from t=1).  The predicted
-        # mean is stop-gradded: this term calibrates σ_open only.
-        Sm = T - 2
-        zm = mean_targets[:, 1:T - 1].reshape(B * Sm,
-                                              *mean_targets.shape[2:])
-        act_m = actions[:, 1:T - 1].reshape(B * Sm)
-        dyn_m = dyn_lib.apply(params["dynamics"], cfg, zm, act_m)
-        tgt = mean_targets[:, 2:T].reshape(B * Sm, *mean_targets.shape[2:])
-        nll = -gaussians.log_prob(tgt[..., 2:],
-                                  jax.lax.stop_gradient(dyn_m.mean[..., 2:]),
-                                  dyn_m.std_open[..., 2:])
-        sigma_nll = jnp.mean(jnp.sum(nll, axis=(-2, -1)))
+        # Multi-horizon open-loop NLL for the process-noise std: roll the
+        # dynamics on MEANS from the posterior mean at t and score the
+        # posterior MEAN at t+k under N(pred_k, sqrt(Σ_{j≤k} σ_open,j²))
+        # for every k in cfg.open_loop_sigma_horizons.  Mean-to-mean, so
+        # σ_open captures model/process noise WITHOUT posterior-sample
+        # jitter; the accumulated variance is exactly what a sampled
+        # rollout injects over k steps, so fitting it at k ∈ {1,4,8}
+        # calibrates σ at the horizons sampled rollouts are judged at —
+        # the 1-step-only fit (horizons=(1,), the round-3 behavior) bakes
+        # 1-step bias + target noise into σ and over-injects 1.9–3.2×
+        # (RESULTS.md gravity table; VERDICT r4 task 4).  Start at t=1
+        # (t=0 velocity is mirrored from t=1).  The chain and predicted
+        # means are stop-gradded: this term calibrates σ_open only.
+        horizons = tuple(k for k in sorted(set(cfg.open_loop_sigma_horizons))
+                         if 1 <= k <= T - 2) or (1,)
+        kmax = horizons[-1]
+        Sm = T - 1 - kmax
+        zm = mean_targets[:, 1:1 + Sm].reshape(B * Sm,
+                                               *mean_targets.shape[2:])
+        z_roll = zm
+        var_acc = jnp.zeros_like(zm[..., 2:])
+        terms = []
+        for k in range(1, kmax + 1):                           # unrolled
+            # state at t+k−1; the action at index t+k−1 drives t+k−1 → t+k
+            act_m = jax.lax.dynamic_slice_in_dim(
+                actions, k, Sm, axis=1).reshape(B * Sm)
+            dyn_m = dyn_lib.apply(params["dynamics"], cfg, z_roll, act_m)
+            var_acc = var_acc + dyn_m.std_open[..., 2:] ** 2
+            if k in horizons:
+                tgt = mean_targets[:, 1 + k:1 + k + Sm].reshape(
+                    B * Sm, *mean_targets.shape[2:])
+                nll = -gaussians.log_prob(
+                    tgt[..., 2:],
+                    jax.lax.stop_gradient(dyn_m.mean[..., 2:]),
+                    jnp.sqrt(var_acc))
+                terms.append(jnp.mean(jnp.sum(nll, axis=(-2, -1))))
+            z_roll = jax.lax.stop_gradient(dyn_m.mean)
+        sigma_nll = sum(terms) / len(terms)
 
     for k in range(1, K + 1):                                  # unrolled
         # action taken at step t+k−1 drives transition into t+k

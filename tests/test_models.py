@@ -381,6 +381,27 @@ class TestOpenLoopSigma:
                     for x in jax.tree_util.tree_leaves(g["dynamics"]))
         assert np.isfinite(gnorm) and gnorm > 0
 
+    def test_sigma_horizons_clamped_to_window(self, cfgm):
+        """Horizons beyond window−2 are dropped (not an error), and the
+        multi-horizon NLL differs from the 1-step-only fit — the k>1
+        terms add real signal (VERDICT r4 task 4)."""
+        specs = None
+        vals = {}
+        for hz in ((1,), (1, 3), (1, 4, 8, 999)):
+            cfg = cfgm.with_overrides(open_loop_sigma=True, overshoot_k=2,
+                                      open_loop_sigma_horizons=hz)
+            if specs is None:
+                specs = stove_lib.make_specs(jax.random.key(0), cfg)
+                params = stove_lib.init_params(jax.random.key(1), cfg,
+                                               specs)
+                frames = jax.random.uniform(
+                    jax.random.key(3), (2, cfg.window, 32, 32))
+            out = stove_lib.elbo(params, cfg, specs, frames, None, None,
+                                 jax.random.key(4))
+            assert jnp.isfinite(out.open_sigma_nll), hz
+            vals[hz] = float(out.open_sigma_nll)
+        assert vals[(1,)] != vals[(1, 3)]
+
     def test_sampled_rollout_uses_open_std(self, cfgm):
         """With a tiny σ_open floor forced, sampled rollouts must spread
         much less than the filter-std sampling would."""
