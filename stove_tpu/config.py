@@ -246,6 +246,12 @@ class Config:
     #            intermediates; was fastest in the round-2 first pass)
     #   pallas — fused VMEM-resident kernel (forward; XLA-dense backward);
     #            falls back to matmul where Mosaic can't run (logged once)
+    likelihood_impl: str = "xla"           # SuPAIR likelihood path:
+    #   xla    — glimpse einsums + overlap chain + SPN stages (the SPN
+    #            stage itself still honors spn_impl)
+    #   pallas — whole likelihood fused per batch tile (frames → summed
+    #            root log-density, ops/pallas_likelihood.py; XLA-dense
+    #            custom-VJP backward).  Requires overlap_impl='patch'.
     fused_epoch: bool = True               # scan whole epoch in one jit call
     compute_dtype: str = "float32"         # bfloat16 | float32 for nets
     donate_state: bool = True

@@ -137,6 +137,15 @@ def likelihood(params: Dict, cfg: Config, specs: SupairSpecs,
     P = cfg.patch_size
     V = cfg.img_size**2
 
+    if cfg.likelihood_impl == "pallas" and _pallas_available():
+        if cfg.overlap_correction and O > 1 and cfg.overlap_impl != "patch":
+            raise ValueError(
+                "likelihood_impl='pallas' implements the patch-space "
+                "overlap correction; set overlap_impl='patch' (default) "
+                "or likelihood_impl='xla'.")
+        from stove_tpu.ops.pallas_likelihood import likelihood_fused
+        return likelihood_fused(cfg, specs, params, frames, boxes)
+
     patches = glimpse.extract_glimpses(frames, boxes, P)      # (B, O, P, P)
 
     if cfg.overlap_correction and O > 1 and cfg.overlap_impl == "patch":

@@ -79,65 +79,78 @@ def _blocksum_matrices(spec: spn_lib.SpnSpec):
     return mats
 
 
-def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
+def spn_tile_body(spec: spn_lib.SpnSpec, tile: int, x, wgt, mu_ref,
+                  std_ref, scope_ref, sum_refs, block_refs, root_ref):
+    """The fused SPN forward on one VMEM-resident batch tile.
+
+    x, wgt: (TB, V) values already in registers/VMEM; the param arguments
+    are pallas refs (or indexable arrays).  Returns (TB, 1) root
+    log-densities.  Shared by the standalone SPN kernel below and the
+    whole-likelihood kernel (ops/pallas_likelihood.py), which evaluates
+    the object and background SPNs on patches it computed in-kernel.
+    """
     R, I, S, D = (spec.num_reps, spec.num_leaves, spec.num_sums, spec.depth)
     V, L = spec.num_vars, spec.num_leaf_regions
+
+    tops = []
+    for r in range(R):                                     # unrolled
+        mu = mu_ref[r]                                     # (I, V)
+        std = std_ref[r]
+        z = (x[:, None, :] - mu[None]) / std[None]         # (TB, I, V)
+        ll = (-0.5 * (z * z + _LOG2PI) - jnp.log(std)[None])
+        ll = ll * wgt[:, None, :]
+        # scope contraction: (TB·I, V) @ (V, L) on the MXU
+        acts = jnp.dot(ll.reshape(tile * I, V), scope_ref[r],
+                       preferred_element_type=jnp.float32)
+        acts3 = jnp.transpose(acts.reshape(tile, I, L), (0, 2, 1))
+        # per-region activation list: everything below stays strictly
+        # 2-D (TB, channels) — Mosaic rejects >2-D shape casts/gathers
+        region_acts = [acts3[:, k, :] for k in range(L)]   # L× (TB, I)
+
+        c = I
+        for level, d in enumerate(range(D - 1, -1, -1)):   # unrolled
+            P = 2 ** d
+            nxt = []
+            for p in range(P):                             # unrolled, ≤4
+                lft, rgt = region_acts[2 * p], region_acts[2 * p + 1]
+                # factorized log-sum-product:
+                #   Σ_{ij} W[s,i,j] e^{l_i + r_j − m}
+                # = Σ_i e^{l_i − ml} · Σ_j W[s,i,j] e^{r_j − mr},
+                # with m = ml + mr (max factorizes over the outer sum)
+                ml = jnp.max(lft, axis=-1, keepdims=True)  # (TB, 1)
+                mr = jnp.max(rgt, axis=-1, keepdims=True)
+                el = jnp.exp(lft - ml)                     # (TB, c)
+                er = jnp.exp(rgt - mr)
+                t2 = jnp.dot(er, sum_refs[level][r, p],
+                             preferred_element_type=jnp.float32)
+                #   t2[b, s·c+i] = Σ_j W[s,i,j] er[b,j]     (TB, S·c)
+                mixed = jnp.dot(t2 * jnp.tile(el, (1, S)),
+                                block_refs[level][:],
+                                preferred_element_type=jnp.float32)
+                nxt.append(jnp.log(jnp.maximum(mixed, 1e-38))
+                           + ml + mr)                      # (TB, S)
+            region_acts = nxt
+            c = S
+        tops.append(region_acts[0])                        # (TB, S)
+
+    top = jnp.concatenate(tops, axis=-1)                   # (TB, R·S)
+    scored = top + root_ref[:]                             # log-weights
+    m = jnp.max(scored, axis=-1, keepdims=True)
+    return jnp.log(jnp.sum(jnp.exp(scored - m), axis=-1,
+                           keepdims=True)) + m             # (TB, 1)
+
+
+def _make_kernel(spec: spn_lib.SpnSpec, tile: int):
+    D = spec.depth
 
     def kernel(x_ref, w_ref, mu_ref, std_ref, scope_ref, *rest):
         sum_refs = rest[:D]          # W2T per level, (R, P, c, S·c)
         block_refs = rest[D:2 * D]   # block-sum matrices, (S·c, S)
         root_ref = rest[2 * D]
         o_ref = rest[2 * D + 1]
-
-        x = x_ref[:]                                           # (TB, V)
-        wgt = w_ref[:]
-        tops = []
-        for r in range(R):                                     # unrolled
-            mu = mu_ref[r]                                     # (I, V)
-            std = std_ref[r]
-            z = (x[:, None, :] - mu[None]) / std[None]         # (TB, I, V)
-            ll = (-0.5 * (z * z + _LOG2PI) - jnp.log(std)[None])
-            ll = ll * wgt[:, None, :]
-            # scope contraction: (TB·I, V) @ (V, L) on the MXU
-            acts = jnp.dot(ll.reshape(tile * I, V), scope_ref[r],
-                           preferred_element_type=jnp.float32)
-            acts3 = jnp.transpose(acts.reshape(tile, I, L), (0, 2, 1))
-            # per-region activation list: everything below stays strictly
-            # 2-D (TB, channels) — Mosaic rejects >2-D shape casts/gathers
-            region_acts = [acts3[:, k, :] for k in range(L)]   # L× (TB, I)
-
-            c = I
-            for level, d in enumerate(range(D - 1, -1, -1)):   # unrolled
-                P = 2 ** d
-                nxt = []
-                for p in range(P):                             # unrolled, ≤4
-                    lft, rgt = region_acts[2 * p], region_acts[2 * p + 1]
-                    # factorized log-sum-product:
-                    #   Σ_{ij} W[s,i,j] e^{l_i + r_j − m}
-                    # = Σ_i e^{l_i − ml} · Σ_j W[s,i,j] e^{r_j − mr},
-                    # with m = ml + mr (max factorizes over the outer sum)
-                    ml = jnp.max(lft, axis=-1, keepdims=True)  # (TB, 1)
-                    mr = jnp.max(rgt, axis=-1, keepdims=True)
-                    el = jnp.exp(lft - ml)                     # (TB, c)
-                    er = jnp.exp(rgt - mr)
-                    t2 = jnp.dot(er, sum_refs[level][r, p],
-                                 preferred_element_type=jnp.float32)
-                    #   t2[b, s·c+i] = Σ_j W[s,i,j] er[b,j]     (TB, S·c)
-                    mixed = jnp.dot(t2 * jnp.tile(el, (1, S)),
-                                    block_refs[level][:],
-                                    preferred_element_type=jnp.float32)
-                    nxt.append(jnp.log(jnp.maximum(mixed, 1e-38))
-                               + ml + mr)                      # (TB, S)
-                region_acts = nxt
-                c = S
-            tops.append(region_acts[0])                        # (TB, S)
-
-        top = jnp.concatenate(tops, axis=-1)                   # (TB, R·S)
-        scored = top + root_ref[:]                             # log-weights
-        m = jnp.max(scored, axis=-1, keepdims=True)
-        out = jnp.log(jnp.sum(jnp.exp(scored - m), axis=-1,
-                              keepdims=True)) + m              # (TB, 1)
-        o_ref[:] = out
+        o_ref[:] = spn_tile_body(spec, tile, x_ref[:], w_ref[:], mu_ref,
+                                 std_ref, scope_ref, sum_refs, block_refs,
+                                 root_ref)
 
     return kernel
 
