@@ -107,10 +107,37 @@ def main():
     record("bg_spn_ms", round(1e3 * timeit(
         bg, params, flat.reshape(B * T, -1)), 2))
 
-    # full likelihood
+    # full likelihood (forward+backward, and forward alone — the fused
+    # kernel replaces only the forward; the VJP re-runs the dense path)
     lik = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
         p["supair"], cfg, specs.supair, f, b)))
     record("likelihood_ms", round(1e3 * timeit(lik, params, flat, boxes), 2))
+    lik_f = lambda p, f, b: jnp.sum(supair_lib.likelihood(
+        p["supair"], cfg, specs.supair, f, b)) * jnp.ones(())
+    record("likelihood_fwd_ms",
+           round(1e3 * timeit(lik_f, params, flat, boxes), 2))
+
+    # fused whole-likelihood kernel arms (VERDICT r4 task 3)
+    if os.environ.get("PB_PALLAS_LIK", "1") == "1":
+        try:
+            cfg_p = cfg.with_overrides(likelihood_impl="pallas")
+            lik_p = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
+                p["supair"], cfg_p, specs.supair, f, b)))
+            record("likelihood_pallas_ms",
+                   round(1e3 * timeit(lik_p, params, flat, boxes), 2))
+            lik_pf = lambda p, f, b: jnp.sum(supair_lib.likelihood(
+                p["supair"], cfg_p, specs.supair, f, b)) * jnp.ones(())
+            record("likelihood_pallas_fwd_ms",
+                   round(1e3 * timeit(lik_pf, params, flat, boxes), 2))
+            # numerical sanity on-device (bf16 MXU passes both paths)
+            a = supair_lib.likelihood(params["supair"], cfg, specs.supair,
+                                      flat[:256], boxes[:256])
+            b = supair_lib.likelihood(params["supair"], cfg_p, specs.supair,
+                                      flat[:256], boxes[:256])
+            record("likelihood_pallas_maxerr",
+                   float(jnp.max(jnp.abs(a - b))))
+        except Exception as e:
+            record("likelihood_pallas_error", f"{type(e).__name__}: {e}")
 
     # full elbo
     full = jax.grad(lambda p, f: stove_lib.elbo(
@@ -118,6 +145,18 @@ def main():
     t_full = timeit(full, params, frames)
     record("full_elbo_ms", round(1e3 * t_full, 2))
     record("windows_per_sec", round(B / t_full, 1))
+
+    if os.environ.get("PB_PALLAS_LIK", "1") == "1":
+        try:
+            cfg_p = cfg.with_overrides(likelihood_impl="pallas")
+            specs_p = stove_lib.make_specs(jax.random.key(0), cfg_p)
+            full_p = jax.grad(lambda p, f: stove_lib.elbo(
+                p, cfg_p, specs_p, f, None, None, jax.random.key(7)).loss)
+            t_fp = timeit(full_p, params, frames)
+            record("full_elbo_pallas_ms", round(1e3 * t_fp, 2))
+            record("windows_per_sec_pallas", round(B / t_fp, 1))
+        except Exception as e:
+            record("full_elbo_pallas_error", f"{type(e).__name__}: {e}")
 
     print("[phase] DONE", flush=True)
 
