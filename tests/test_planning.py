@@ -147,6 +147,37 @@ class TestLockstep:
         np.testing.assert_array_equal(np.asarray(serial_r),
                                       np.asarray(lock_r))
 
+    @pytest.mark.slow
+    def test_lockstep_matches_serial_tree_mode(self):
+        """Tree-mode shrink must survive lockstep batching bit-for-bit
+        (the round-4 measurement runs tree arms on the lockstep path;
+        the depths plumbing stacks per-episode frontier depths)."""
+        from stove_tpu.models.bundle import StoveModel
+        from stove_tpu.planning.mcts import MCTS, MCTSLockstep
+        from stove_tpu.planning.simulators import LearnedSimulator
+
+        cfg = _cfg(mcts_simulations=18, mcts_horizon=3, mcts_episode_len=3,
+                   mcts_episodes=2, mcts_frontier=2,
+                   mcts_depth_shrink=0.7, mcts_shrink_mode="tree",
+                   mcts_reward_base_rate=0.6)
+        model = StoveModel(cfg)
+        params = model.init_params()
+        key = jax.random.key(cfg.seed + 11)
+        E = cfg.mcts_episodes
+        ep_keys = [jax.random.fold_in(key, e) for e in range(E)]
+        keys = jax.vmap(lambda e: jax.random.fold_in(key, e))(jnp.arange(E))
+        env_b = runner.BatchedEnvHandles(cfg)
+        env_s = runner.EnvHandles(cfg)
+
+        serial = [runner.run_episode_model(
+            cfg, model, params, k,
+            planner=MCTS(LearnedSimulator(model, params), cfg), env=env_s)
+            for k in ep_keys]
+        lock = runner._lockstep_model(
+            cfg, model, params, keys, cfg.mcts_episode_len,
+            MCTSLockstep(LearnedSimulator(model, params), cfg), env_b)
+        np.testing.assert_array_equal(np.asarray(serial), np.asarray(lock))
+
     def test_depth_shrink_pulls_leaf_values_to_base_rate(self):
         """λ=1 is identity; λ→0 collapses every leaf value to the
         π-constant return sum(π·γ^t), killing depth-rotted discrimination
