@@ -119,3 +119,63 @@ class TestVizMode:
         assert main([f"restore={tmp_path}/r/vz", "mode=viz"]) == 0
         assert os.path.exists(f"{tmp_path}/r/vz/rollout_viz.gif")
         assert os.path.exists(f"{tmp_path}/r/vz/detect_grid.png")
+
+
+class TestRestartProtocolTriggers:
+    """The pre-registered restart triggers parse run metrics correctly
+    (scripts/restart_protocol.py; RESULTS.md round-4 criterion 4)."""
+
+    def _write(self, tmp_path, name, rows):
+        import json
+        d = tmp_path / "runs" / name
+        d.mkdir(parents=True)
+        with open(d / "metrics.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return d
+
+    def test_billiards_trigger_window(self, tmp_path, monkeypatch):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "restart_protocol", "scripts/restart_protocol.py")
+        rp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rp)
+        monkeypatch.setattr(rp, "REPO", str(tmp_path))
+
+        # basin trajectory: high early overshoot, low in the 230-239 window
+        rows = ([{"kind": "train", "epoch": e, "overshoot": 0.02}
+                 for e in range(0, 230)]
+                + [{"kind": "train", "epoch": e, "overshoot": 0.006}
+                   for e in range(230, 240)])
+        self._write(tmp_path, "basin", rows)
+        tripped, val = rp.trigger_billiards("basin", 240)
+        assert not tripped and abs(val - 0.006) < 1e-9
+
+        rows = [{"kind": "train", "epoch": e, "overshoot": 0.015}
+                for e in range(240)]
+        self._write(tmp_path, "plateau", rows)
+        tripped, val = rp.trigger_billiards("plateau", 240)
+        assert tripped and abs(val - 0.015) < 1e-9
+
+        # missing metrics -> treated as tripped (inf), never a silent pass
+        tripped, val = rp.trigger_billiards("missing", 240)
+        assert tripped
+
+    def test_gravity_trigger_first_eval(self, tmp_path, monkeypatch):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "restart_protocol", "scripts/restart_protocol.py")
+        rp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rp)
+        monkeypatch.setattr(rp, "REPO", str(tmp_path))
+
+        rows = [{"kind": "eval", "epoch": 19, "detect_mse": 0.007},
+                {"kind": "eval", "epoch": 39, "detect_mse": 0.15}]
+        self._write(tmp_path, "healthy", rows)
+        tripped, val = rp.trigger_gravity("healthy", 20)
+        assert not tripped and abs(val - 0.007) < 1e-9  # FIRST eval only
+
+        rows = [{"kind": "eval", "epoch": 19, "detect_mse": 0.146}]
+        self._write(tmp_path, "collapsed", rows)
+        tripped, _ = rp.trigger_gravity("collapsed", 20)
+        assert tripped
