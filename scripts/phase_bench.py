@@ -139,12 +139,69 @@ def main():
         except Exception as e:
             record("likelihood_pallas_error", f"{type(e).__name__}: {e}")
 
+    # posterior scan alone: fwd+bwd and fwd-only, XLA vs fused kernel
+    T2, O, D = T - 2, cfg.num_obj, cfg.full_state_dim
+    ks = jax.random.split(jax.random.key(11), 8)
+    z1 = 0.1 * jax.random.normal(ks[0], (B, O, D))
+    cm = 0.1 * jax.random.normal(ks[1], (B, O, 2))
+    cs = 0.1 + 0.1 * jax.random.uniform(ks[2], (B, O, 2))
+    smn = 0.3 * jax.random.normal(ks[3], (B, T2, O, 4))
+    sst = 0.05 + 0.1 * jax.random.uniform(ks[4], (B, T2, O, 4))
+    acts = jax.random.randint(ks[5], (B, T2), 0, cfg.num_actions)
+    eps = jax.random.normal(ks[6], (B, T2, O, D))
+
+    def scan_loss(p, impl):
+        z, zm, kl, rew = stove_lib.scan_posterior(
+            p["dynamics"], cfg.with_overrides(scan_impl=impl), z1, cm, cs,
+            smn, sst, acts, eps)
+        return (jnp.sum(z) * 1e-6 + jnp.sum(zm) * 1e-6 + jnp.sum(kl)
+                + jnp.sum(rew))
+
+    record("scan_xla_ms", round(1e3 * timeit(
+        jax.grad(lambda p: scan_loss(p, "xla")), params), 2))
+    record("scan_xla_fwd_ms", round(1e3 * timeit(
+        lambda p: scan_loss(p, "xla"), params), 2))
+    if os.environ.get("PB_PALLAS_SCAN", "1") == "1":
+        try:
+            import stove_tpu.models.supair as _sup
+            if _sup._pallas_available():
+                record("scan_pallas_ms", round(1e3 * timeit(
+                    jax.grad(lambda p: scan_loss(p, "pallas")), params), 2))
+                record("scan_pallas_fwd_ms", round(1e3 * timeit(
+                    lambda p: scan_loss(p, "pallas"), params), 2))
+        except Exception as e:
+            record("scan_pallas_error", f"{type(e).__name__}: {e}")
+
     # full elbo
     full = jax.grad(lambda p, f: stove_lib.elbo(
         p, cfg, specs, f, None, None, jax.random.key(7)).loss)
     t_full = timeit(full, params, frames)
     record("full_elbo_ms", round(1e3 * t_full, 2))
     record("windows_per_sec", round(B / t_full, 1))
+
+    if os.environ.get("PB_PALLAS_SCAN", "1") == "1":
+        try:
+            import stove_tpu.models.supair as _sup
+            if _sup._pallas_available():
+                cfg_s = cfg.with_overrides(scan_impl="pallas")
+                full_s = jax.grad(lambda p, f: stove_lib.elbo(
+                    p, cfg_s, specs, f, None, None,
+                    jax.random.key(7)).loss)
+                t_fs = timeit(full_s, params, frames)
+                record("full_elbo_pallas_scan_ms", round(1e3 * t_fs, 2))
+                record("windows_per_sec_pallas_scan", round(B / t_fs, 1))
+                # both fused paths together
+                cfg_b = cfg.with_overrides(scan_impl="pallas",
+                                           likelihood_impl="pallas")
+                full_b = jax.grad(lambda p, f: stove_lib.elbo(
+                    p, cfg_b, specs, f, None, None,
+                    jax.random.key(7)).loss)
+                t_fb = timeit(full_b, params, frames)
+                record("full_elbo_pallas_both_ms", round(1e3 * t_fb, 2))
+                record("windows_per_sec_pallas_both", round(B / t_fb, 1))
+        except Exception as e:
+            record("full_elbo_pallas_scan_error",
+                   f"{type(e).__name__}: {e}")
 
     if os.environ.get("PB_PALLAS_LIK", "1") == "1":
         try:

@@ -246,6 +246,12 @@ class Config:
     #            intermediates; was fastest in the round-2 first pass)
     #   pallas — fused VMEM-resident kernel (forward; XLA-dense backward);
     #            falls back to matmul where Mosaic can't run (logged once)
+    scan_impl: str = "xla"                 # phase-2 posterior recursion:
+    #   xla    — lax.scan of per-step ops (reference semantics)
+    #   pallas — whole-window fused kernel forward (ops/pallas_scan.py;
+    #            state + weights VMEM-resident, pre-drawn threefry ε so
+    #            sampling stays bit-deterministic) with the XLA scan as
+    #            the custom-VJP backward
     likelihood_impl: str = "xla"           # SuPAIR likelihood path:
     #   xla    — glimpse einsums + overlap chain + SPN stages (the SPN
     #            stage itself still honors spn_impl)

@@ -29,6 +29,7 @@ selection under `stop_gradient` (Hungarian matching is used only in
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -179,16 +180,59 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
     if actions is None:
         actions = jnp.zeros((B, T), jnp.int32)
 
+    # pre-draw the per-step reparameterization noise with the SAME keys the
+    # in-scan gaussians.sample used (bit-identical), so the scan body is a
+    # deterministic function of (params, obs, ε) — the fused Pallas scan
+    # (ops/pallas_scan.py) consumes the same ε and needs no kernel PRNG
+    keys = jax.random.split(key, T - 2)
+    eps = jnp.moveaxis(
+        jax.vmap(lambda k: jax.random.normal(
+            k, (B, O, cfg.full_state_dim), frames.dtype))(keys),
+        0, 1)                                                  # (B, T-2, O, D)
+
+    zs_r, zm_r, kl, rew_r = scan_posterior(
+        params["dynamics"], cfg, z1, m1[..., 2:4], s1[..., 2:4],
+        sup_mean[:, 2:], sup_std[:, 2:], actions[:, 1:T - 1], eps)
+
+    z_all = jnp.concatenate([z0[:, None], z1[:, None], zs_r], axis=1)
+    # posterior means: t∈{0,1} use encoder means (velocity from mean diffs)
+    v1_mean = m1[..., 2:4] - sup_mean[:, 0, :, 2:4]
+    z1_mean = jnp.concatenate([m1[..., 0:2], m1[..., 2:4], v1_mean,
+                               jnp.zeros_like(lat1)], axis=-1)
+    z0_mean = jnp.concatenate([sup_mean[:, 0, :, 0:2],
+                               sup_mean[:, 0, :, 2:4], v1_mean,
+                               jnp.zeros_like(lat1)], axis=-1)
+    z_mean_all = jnp.concatenate(
+        [z0_mean[:, None], z1_mean[:, None], zm_r], axis=1)
+    pos_mean = jnp.concatenate(
+        [sup_mean[:, 0:1, :, 2:4], m1[:, None, :, 2:4], zm_r[..., POS]],
+        axis=1)
+    rewards = jnp.concatenate(
+        [jnp.zeros((B, 2), frames.dtype), rew_r.astype(frames.dtype)],
+        axis=1)
+    return InferOut(z_all, z_mean_all, pos_mean, kl, init_logq, init_logp,
+                    rewards)
+
+
+def _scan_xla(dyn_params: Dict, cfg: Config, z1, carry_m, carry_s,
+              sup_mean, sup_std, actions, eps):
+    """The phase-2 posterior recursion as one lax.scan (the reference
+    semantics; single source of truth — the fused Pallas scan is tested
+    against this).  sup_mean/sup_std (B, T2, O, 4) for t = 2..T−1;
+    actions (B, T2) = a_{t−1}; eps (B, T2, O, D) pre-drawn normals.
+    Returns (z (B,T2,O,D), z_mean (B,T2,O,D), kl (B,), rewards (B,T2)).
+    """
+    T2 = sup_mean.shape[1]
     xs = {
-        "sup_mean": jnp.moveaxis(sup_mean[:, 2:], 1, 0),      # (T-2, B, O, 4)
-        "sup_std": jnp.moveaxis(sup_std[:, 2:], 1, 0),
-        "action": jnp.moveaxis(actions[:, 1:T - 1], 1, 0),    # a_{t−1}
-        "key": jax.random.split(key, T - 2),
+        "sup_mean": jnp.moveaxis(sup_mean, 1, 0),             # (T2, B, O, 4)
+        "sup_std": jnp.moveaxis(sup_std, 1, 0),
+        "action": jnp.moveaxis(actions, 1, 0),
+        "eps": jnp.moveaxis(eps, 1, 0),
     }
 
     def step(carry, x):
         z_prev, prev_sup_m, prev_sup_s = carry
-        dyn = dyn_lib.apply(params["dynamics"], cfg, z_prev, x["action"])
+        dyn = dyn_lib.apply(dyn_params, cfg, z_prev, x["action"])
         d_mean, d_std = dyn.mean, dyn.std
 
         sm, ss = align_slots(d_mean[..., POS], x["sup_mean"][..., 2:4],
@@ -201,12 +245,9 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
             if cfg.velocity_obs == "filtered":
                 # velocity evidence from the difference of FILTERED position
                 # means (this step's posterior minus the carried previous
-                # posterior).  The filtered positions are ~2× more accurate
-                # than the raw encoder output, so their difference is a
-                # strictly better observation than the encoder-mean diff
-                # (measured: 0.0117 vs 0.0169 rms velocity error at handoff
-                # on the 360-epoch billiards model).  prev_sup_m/s carry the
-                # previous step's q(p) mean/std in this mode.
+                # posterior).  prev_sup_m/s carry the previous step's q(p)
+                # mean/std in this mode.  See the config comment for the
+                # measured end-to-end verdict (mse@8-neutral).
                 v_obs = q_pos_m - prev_sup_m
                 v_obs_s = jnp.sqrt(q_pos_s ** 2 + prev_sup_s ** 2)
             elif cfg.velocity_obs_full_std:
@@ -233,14 +274,13 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
         q_mean = jnp.concatenate([q_size_m, q_pos_m, q_vel_m, q_lat_m], -1)
         q_std = jnp.concatenate([q_size_s, q_pos_s, q_vel_s, q_lat_s], -1)
 
-        z_t = gaussians.sample(x["key"], q_mean, q_std)
+        z_t = q_mean + q_std * x["eps"]
 
         log_p = jnp.sum(gaussians.log_prob(z_t, d_mean, d_std), (-2, -1))
         log_q = jnp.sum(gaussians.log_prob(z_t, q_mean, q_std), (-2, -1))
         out = {
             "z": z_t,
             "z_mean": q_mean,
-            "pos_mean": q_mean[..., POS],
             "kl": log_p - log_q,
             "reward": dyn.reward,
         }
@@ -252,31 +292,58 @@ def infer(params: Dict, cfg: Config, specs: StoveSpecs, frames: jnp.ndarray,
 
     with jax.named_scope("stove_scan"):
         _, scanned = jax.lax.scan(
-            step, (z1, m1[..., 2:4], s1[..., 2:4]), xs,
+            step, (z1, carry_m, carry_s), xs,
             # lax.scan needs unroll >= 1 even when T == 2 (empty xs)
-            unroll=max(1, min(cfg.scan_unroll, T - 2)))
+            unroll=max(1, min(cfg.scan_unroll, T2)))
+    return (jnp.moveaxis(scanned["z"], 0, 1),
+            jnp.moveaxis(scanned["z_mean"], 0, 1),
+            jnp.sum(scanned["kl"], axis=0),
+            jnp.moveaxis(scanned["reward"], 0, 1))
 
-    z_all = jnp.concatenate(
-        [z0[:, None], z1[:, None], jnp.moveaxis(scanned["z"], 0, 1)], axis=1)
-    # posterior means: t∈{0,1} use encoder means (velocity from mean diffs)
-    v1_mean = m1[..., 2:4] - sup_mean[:, 0, :, 2:4]
-    z1_mean = jnp.concatenate([m1[..., 0:2], m1[..., 2:4], v1_mean,
-                               jnp.zeros_like(lat1)], axis=-1)
-    z0_mean = jnp.concatenate([sup_mean[:, 0, :, 0:2],
-                               sup_mean[:, 0, :, 2:4], v1_mean,
-                               jnp.zeros_like(lat1)], axis=-1)
-    z_mean_all = jnp.concatenate(
-        [z0_mean[:, None], z1_mean[:, None],
-         jnp.moveaxis(scanned["z_mean"], 0, 1)], axis=1)
-    pos_mean = jnp.concatenate(
-        [sup_mean[:, 0:1, :, 2:4], m1[:, None, :, 2:4],
-         jnp.moveaxis(scanned["pos_mean"], 0, 1)], axis=1)
-    rewards = jnp.concatenate(
-        [jnp.zeros((B, 2), frames.dtype),
-         jnp.moveaxis(scanned["reward"], 0, 1)], axis=1)
-    kl = jnp.sum(scanned["kl"], axis=0)                        # (B,)
-    return InferOut(z_all, z_mean_all, pos_mean, kl, init_logq, init_logp,
-                    rewards)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _scan_pallas(dyn_params: Dict, cfg: Config, z1, carry_m, carry_s,
+                 sup_mean, sup_std, actions, eps):
+    """Fused-forward posterior scan: Pallas kernel forward (whole window
+    VMEM-resident, ops/pallas_scan.py), XLA-dense `_scan_xla` backward
+    (same pre-drawn ε, mathematically identical)."""
+    from stove_tpu.ops import pallas_rollout as pr
+    from stove_tpu.ops import pallas_scan as ps
+
+    prepared = pr.prepare_params(dyn_params, cfg, jnp.bfloat16)
+    return ps.scan_fused(prepared, cfg, z1, carry_m, carry_s, sup_mean,
+                         sup_std, actions, eps)
+
+
+def _scan_pallas_fwd(dyn_params, cfg, z1, carry_m, carry_s, sup_mean,
+                     sup_std, actions, eps):
+    out = _scan_pallas(dyn_params, cfg, z1, carry_m, carry_s, sup_mean,
+                       sup_std, actions, eps)
+    return out, (dyn_params, z1, carry_m, carry_s, sup_mean, sup_std,
+                 actions, eps)
+
+
+def _scan_pallas_bwd(cfg, res, grads):
+    dyn_params, z1, carry_m, carry_s, sup_mean, sup_std, actions, eps = res
+    _, vjp = jax.vjp(
+        lambda p, a, b, c, d, e, f, g: _scan_xla(p, cfg, a, b, c, d, e,
+                                                 f, g),
+        dyn_params, z1, carry_m, carry_s, sup_mean, sup_std, actions, eps)
+    return vjp(grads)
+
+
+_scan_pallas.defvjp(_scan_pallas_fwd, _scan_pallas_bwd)
+
+
+def scan_posterior(dyn_params: Dict, cfg: Config, z1, carry_m, carry_s,
+                   sup_mean, sup_std, actions, eps):
+    """Dispatch the phase-2 recursion to the configured implementation."""
+    if (cfg.scan_impl == "pallas" and sup_mean.shape[1] > 0
+            and supair_lib._pallas_available()):
+        return _scan_pallas(dyn_params, cfg, z1, carry_m, carry_s,
+                            sup_mean, sup_std, actions, eps)
+    return _scan_xla(dyn_params, cfg, z1, carry_m, carry_s, sup_mean,
+                     sup_std, actions, eps)
 
 
 class ElboOut(NamedTuple):

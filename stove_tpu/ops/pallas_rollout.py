@@ -155,6 +155,133 @@ def _normals(shape):
                             pltpu.prng_random_bits(shape))
 
 
+def make_mm(dtype):
+    """(w, x[, b][, relu]) matmul helper at the kernel's precision policy:
+    bf16 single-pass by default, true-f32 (3-pass) when dtype is f32 —
+    see the precision note in _make_kernel."""
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def mm(w_ref, x, b=None, relu=False):
+        y = jnp.dot(w_ref[:], x.astype(dtype),
+                    preferred_element_type=jnp.float32, precision=prec)
+        if b is not None:
+            y = y + b[:]
+        return jnp.maximum(y, 0.0) if relu else y
+
+    return mm
+
+
+def dyn_tile_core(params, mm, cfg: Config, z, act_term=None):
+    """One graph-net dynamics evaluation on a transposed (SD, TB) tile.
+
+    Shared by the rollout kernel below and the posterior-scan kernel
+    (ops/pallas_scan.py).  Returns per-object lists (es, ss, rs, outs):
+    embed features, self-core outputs, attention-pooled pair features, and
+    the raw output-MLP rows (d_out, TB) — callers do integration /
+    std-bounding / reward pooling themselves.
+    """
+    O = cfg.num_obj
+    D = cfg.full_state_dim
+
+    es, ss = [], []
+    for o in range(O):
+        zo = z[D * o:D * (o + 1), :]                           # (D, TB)
+        x = mm(params["w_e0"], zo, params["b_e0"])
+        if act_term is not None:
+            x = x + act_term
+        x = jnp.maximum(x, 0.0)
+        e = mm(params["w_e1"], x, params["b_e1"])
+        es.append(e)
+        sx = mm(params["w_s0"], e, params["b_s0"], relu=True)
+        ss.append(mm(params["w_s1"], sx, params["b_s1"]))
+
+    # pair cores: recv_o + send_j broadcast adds, no pair tensor
+    recv = [mm(params["w_recv"], es[o]) for o in range(O)]
+    send = [mm(params["w_send"], es[o]) for o in range(O)]
+    rs = []
+    for o in range(O):
+        acc = None
+        for j in range(O):
+            if j == o:
+                continue
+            h1 = jnp.maximum(recv[o] + send[j] + params["b_r0"][:], 0.0)
+            h2 = mm(params["w_r1"], h1, params["b_r1"], relu=True)
+            feat = mm(params["w_rf"], h2, params["b_rf"])
+            logit = (jnp.sum(h2 * params["w_ra"][:], axis=0, keepdims=True)
+                     + params["b_ra"][0])                      # (1, TB)
+            term = feat * jax.nn.sigmoid(logit)
+            acc = term if acc is None else acc + term
+        rs.append(acc)
+
+    outs = []
+    for o in range(O):
+        g = jnp.maximum(mm(params["w_o0s"], ss[o])
+                        + mm(params["w_o0r"], rs[o])
+                        + params["b_o0"][:], 0.0)
+        g = mm(params["w_o1"], g, params["b_o1"], relu=True)
+        outs.append(mm(params["w_o2"], g, params["b_o2"]))     # (d_out, TB)
+    return es, ss, rs, outs
+
+
+def integrate_mean(z, out, o, cfg: Config):
+    """Euler integration of object o's output rows into the next mean
+    (identical to dynamics.apply's mean construction)."""
+    D, cl = cfg.full_state_dim, cfg.cl
+    zo = z[D * o:D * (o + 1), :]
+    dv = out[0:2, :]
+    dl = out[2:2 + cl, :]
+    vel = zo[4:6, :] + dv
+    pos = zo[2:4, :] + vel
+    lat = (zo[6:, :] + dl) if cfg.latent_residual else dl
+    return jnp.concatenate([zo[0:2, :], pos, vel, lat], axis=0)
+
+
+def reward_tile_pool(params, mm, cfg: Config, means, ss, rs):
+    """Geometry-aware reward head on the predicted means (transposed
+    tiles); identical math to the rollout kernel's in-step reward block
+    (attention-pooled per-object scores → sigmoid).  Returns (1, TB)."""
+    O = cfg.num_obj
+    pos_o = [means[o][2:4, :] for o in range(O)]
+    size_o = [jnp.mean(means[o][0:2, :], axis=0, keepdims=True)
+              for o in range(O)]
+    dists = {}
+    for o in range(O):
+        for j in range(o + 1, O):
+            d2 = jnp.sum((pos_o[o] - pos_o[j]) ** 2, axis=0, keepdims=True)
+            dists[(o, j)] = jnp.sqrt(d2 + 1e-8)               # (1, TB)
+    scores, logits = [], []
+    for o in range(O):
+        mg, md = None, None
+        for j in range(O):
+            if j == o:
+                continue
+            dd = dists[(min(o, j), max(o, j))]
+            gg = dd - (size_o[o] + size_o[j])
+            mg = gg if mg is None else jnp.minimum(mg, gg)
+            md = dd if md is None else jnp.minimum(md, dd)
+        for name, sink in (("rw", scores), ("ra2", logits)):
+            f = jnp.maximum(
+                mm(params[f"w_{name}_s"], ss[o])
+                + mm(params[f"w_{name}_r"], rs[o])
+                + params[f"w_{name}_g"][:] * mg
+                + params[f"w_{name}_d"][:] * md
+                + params[f"b_{name}0"][:], 0.0)
+            f = mm(params[f"w_{name}1"], f, params[f"b_{name}1"],
+                   relu=True)
+            v = (jnp.sum(f * params[f"w_{name}2"][:], axis=0,
+                         keepdims=True)
+                 + params[f"b_{name}2"][0])                   # (1, TB)
+            sink.append(v)
+    mx = functools.reduce(jnp.maximum, logits)
+    exps = [jnp.exp(lg - mx) for lg in logits]
+    denom = functools.reduce(lambda a, b: a + b, exps)
+    pooled = functools.reduce(
+        lambda a, b: a + b,
+        [e * s for e, s in zip(exps, scores)]) / denom
+    return jax.nn.sigmoid(pooled)
+
+
 def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                  dtype, actions_on: bool = False, reward_on: bool = False):
     O = cfg.num_obj
@@ -178,15 +305,7 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
     # MXU pass too (measured: f32 and bf16 kernels ran at the same speed
     # AND the same rounding error) — the f32 variant exists for the parity
     # gate, so it must actually be f32.
-    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-
-    def mm(w_ref, x, b=None, relu=False):
-        y = jnp.dot(w_ref[:], x.astype(dtype),
-                    preferred_element_type=jnp.float32, precision=prec)
-        if b is not None:
-            y = y + b[:]
-        return jnp.maximum(y, 0.0) if relu else y
+    mm = make_mm(dtype)
 
     open_head = use_open and sample
     order = list(_PARAM_ORDER)
@@ -217,55 +336,13 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                 onehot = (row_ids == a_row).astype(jnp.float32)
                 act_term = mm(params["w_e0a"], onehot)         # (h, TB)
 
-            # ---- embed + self core, per object (unrolled; O static)
-            es, ss = [], []
-            for o in range(O):
-                zo = z[D * o:D * (o + 1), :]                   # (D, TB)
-                x = mm(params["w_e0"], zo, params["b_e0"])
-                if act_term is not None:
-                    x = x + act_term
-                x = jnp.maximum(x, 0.0)
-                e = mm(params["w_e1"], x, params["b_e1"])
-                es.append(e)
-                sx = mm(params["w_s0"], e, params["b_s0"], relu=True)
-                ss.append(mm(params["w_s1"], sx, params["b_s1"]))
+            _, ss, rs, outs = dyn_tile_core(params, mm, cfg, z, act_term)
 
-            # ---- pair cores: recv_o + send_j broadcast adds, no pair tensor
-            recv = [mm(params["w_recv"], es[o]) for o in range(O)]
-            send = [mm(params["w_send"], es[o]) for o in range(O)]
-            rs = []
-            for o in range(O):
-                acc = None
-                for j in range(O):
-                    if j == o:
-                        continue
-                    h1 = jnp.maximum(recv[o] + send[j]
-                                     + params["b_r0"][:], 0.0)
-                    h2 = mm(params["w_r1"], h1, params["b_r1"], relu=True)
-                    feat = mm(params["w_rf"], h2, params["b_rf"])
-                    logit = (jnp.sum(h2 * params["w_ra"][:], axis=0,
-                                     keepdims=True)
-                             + params["b_ra"][0])              # (1, TB)
-                    term = feat * jax.nn.sigmoid(logit)
-                    acc = term if acc is None else acc + term
-                rs.append(acc)
-
-            # ---- output MLP + Euler integration, per object
+            # ---- Euler integration (+ optional noise), per object
             zs, means = [], []
             for o in range(O):
-                g = jnp.maximum(mm(params["w_o0s"], ss[o])
-                                + mm(params["w_o0r"], rs[o])
-                                + params["b_o0"][:], 0.0)
-                g = mm(params["w_o1"], g, params["b_o1"], relu=True)
-                out = mm(params["w_o2"], g, params["b_o2"])    # (d_out, TB)
-
-                zo = z[D * o:D * (o + 1), :]
-                dv = out[0:2, :]
-                dl = out[2:2 + cl, :]
-                vel = zo[4:6, :] + dv
-                pos = zo[2:4, :] + vel
-                lat = (zo[6:, :] + dl) if latent_residual else dl
-                mean = jnp.concatenate([zo[0:2, :], pos, vel, lat], axis=0)
+                out = outs[o]
+                mean = integrate_mean(z, out, o, cfg)
                 means.append(mean)
                 if sample:
                     if open_head:
@@ -284,50 +361,10 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                 zs.append(mean)
 
             if reward_on:
-                # geometry of the PREDICTED MEAN next state (as in
-                # dynamics.apply): signed contact gap + min distance per
-                # object, per-object scores pooled by learned attention
-                pos_o = [means[o][2:4, :] for o in range(O)]
-                size_o = [jnp.mean(means[o][0:2, :], axis=0, keepdims=True)
-                          for o in range(O)]
-                dists = {}
-                for o in range(O):
-                    for j in range(o + 1, O):
-                        d2 = jnp.sum((pos_o[o] - pos_o[j]) ** 2, axis=0,
-                                     keepdims=True)
-                        dists[(o, j)] = jnp.sqrt(d2 + 1e-8)   # (1, TB)
-                scores, logits = [], []
-                for o in range(O):
-                    mg, md = None, None
-                    for j in range(O):
-                        if j == o:
-                            continue
-                        dd = dists[(min(o, j), max(o, j))]
-                        gg = dd - (size_o[o] + size_o[j])
-                        mg = gg if mg is None else jnp.minimum(mg, gg)
-                        md = dd if md is None else jnp.minimum(md, dd)
-                    for name, sink in (("rw", scores), ("ra2", logits)):
-                        f = jnp.maximum(
-                            mm(params[f"w_{name}_s"], ss[o])
-                            + mm(params[f"w_{name}_r"], rs[o])
-                            + params[f"w_{name}_g"][:] * mg
-                            + params[f"w_{name}_d"][:] * md
-                            + params[f"b_{name}0"][:], 0.0)
-                        f = mm(params[f"w_{name}1"], f,
-                               params[f"b_{name}1"], relu=True)
-                        v = (jnp.sum(f * params[f"w_{name}2"][:], axis=0,
-                                     keepdims=True)
-                             + params[f"b_{name}2"][0])        # (1, TB)
-                        sink.append(v)
-                mx = jnp.maximum(jnp.maximum(logits[0], logits[1]),
-                                 logits[2]) if O == 3 else \
-                    functools.reduce(jnp.maximum, logits)
-                exps = [jnp.exp(lg - mx) for lg in logits]
-                denom = functools.reduce(lambda a, b: a + b, exps)
-                pooled = functools.reduce(
-                    lambda a, b: a + b,
-                    [e * s for e, s in zip(exps, scores)]) / denom
-                rew_ref[t] = jax.nn.sigmoid(pooled)            # (1, TB)
+                # geometry-aware reward head on the PREDICTED MEAN next
+                # state (as in dynamics.apply) — shared with pallas_scan
+                rew_ref[t] = reward_tile_pool(params, mm, cfg, means, ss,
+                                              rs)               # (1, TB)
 
             z_next = jnp.concatenate(zs, axis=0)               # (SD, TB)
             out_ref[t] = z_next

@@ -149,6 +149,104 @@ class TestFusedLikelihood:
                                        rtol=1e-5, atol=1e-5)
 
 
+class TestFusedScan:
+    """Whole-window posterior-scan kernel vs the XLA lax.scan (interpret
+    mode; same pre-drawn ε so the comparison is exact up to matmul
+    precision — VERDICT r4 task 3 follow-on)."""
+
+    def _setup(self, **cfg_kw):
+        from stove_tpu.config import Config
+        from stove_tpu.models import stove as stove_lib
+
+        cfg = Config().with_overrides(**cfg_kw)
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        w = params["dynamics"]["out"][-1]["w"]
+        params["dynamics"]["out"][-1]["w"] = 0.05 * jax.random.normal(
+            jax.random.key(5), w.shape)
+        B, T2, O, D = 8, 4, cfg.num_obj, cfg.full_state_dim
+        ks = jax.random.split(jax.random.key(2), 8)
+        z1 = 0.1 * jax.random.normal(ks[0], (B, O, D))
+        cm = 0.1 * jax.random.normal(ks[1], (B, O, 2))
+        cs = 0.1 + 0.1 * jax.random.uniform(ks[2], (B, O, 2))
+        sm = 0.3 * jax.random.normal(ks[3], (B, T2, O, 4))
+        ss = 0.05 + 0.1 * jax.random.uniform(ks[4], (B, T2, O, 4))
+        acts = jax.random.randint(ks[5], (B, T2), 0, cfg.num_actions)
+        eps = jax.random.normal(ks[6], (B, T2, O, D))
+        return cfg, params, (z1, cm, cs, sm, ss, acts, eps)
+
+    def _compare(self, cfg, params, args, atol=2e-4):
+        from stove_tpu.models import stove as stove_lib
+        from stove_tpu.ops import pallas_rollout as pr
+        from stove_tpu.ops import pallas_scan as ps
+
+        with jax.default_matmul_precision("float32"):
+            ref = stove_lib._scan_xla(params["dynamics"], cfg, *args)
+            ref = jax.tree_util.tree_map(lambda x: x.block_until_ready(),
+                                         ref)
+        prepared = pr.prepare_params(params["dynamics"], cfg, jnp.float32)
+        got = ps.scan_fused(prepared, cfg, *args, block=8,
+                            dtype=jnp.float32, interpret=True)
+        for name, a, b in zip(("z", "z_mean", "kl", "rewards"), got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=atol, err_msg=name)
+
+    def test_matches_xla_default_config(self):
+        cfg, params, args = self._setup()
+        self._compare(cfg, params, args)
+
+    def test_matches_xla_action_reward(self):
+        cfg, params, args = self._setup(task="avoidance",
+                                        action_conditioned=True,
+                                        reward_head=True)
+        self._compare(cfg, params, args)
+
+    def test_matches_xla_filtered_velocity(self):
+        cfg, params, args = self._setup(velocity_obs="filtered")
+        self._compare(cfg, params, args)
+
+    def test_infer_dispatch_matches(self):
+        """cfg.scan_impl='pallas' must reproduce the XLA infer end-to-end
+        (same keys → same ε; forced through the non-TPU gate)."""
+        import os
+
+        from stove_tpu.models import stove as stove_lib
+
+        cfg, params, _ = self._setup()
+        specs = stove_lib.make_specs(jax.random.key(0), cfg)
+        params = stove_lib.init_params(jax.random.key(1), cfg, specs)
+        frames = jax.random.uniform(jax.random.key(3),
+                                    (2, 6, cfg.img_size, cfg.img_size))
+        ref = stove_lib.infer(params, cfg, specs, frames, None,
+                              jax.random.key(4))
+        # interpret-mode dispatch: patch scan_fused to interpret=True and
+        # force the availability gate
+        from stove_tpu.models import supair as supair_lib
+        from stove_tpu.ops import pallas_scan as ps
+        orig_fused, orig_avail = ps.scan_fused, supair_lib._pallas_available
+        try:
+            supair_lib._pallas_available = lambda: True
+            ps.scan_fused = lambda *a, **k: orig_fused(
+                *a, **{**k, "interpret": True, "dtype": jnp.float32})
+            cfg_p = cfg.with_overrides(scan_impl="pallas")
+            got = stove_lib.infer(params, cfg_p, specs, frames, None,
+                                  jax.random.key(4))
+        finally:
+            ps.scan_fused = orig_fused
+            supair_lib._pallas_available = orig_avail
+        # weights go through _scan_pallas's bf16 prepare even with the
+        # f32 kernel patched in, so this is a bf16-weights-vs-f32 check:
+        # the sigmoid reward head amplifies that to ~2e-3 (the tight
+        # f32 parity is pinned by the direct _compare tests above)
+        tol = {"rewards": 5e-3}
+        for name in ("z", "z_mean", "pos_mean", "kl", "rewards"):
+            t = tol.get(name, 5e-4)
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=t, atol=t, err_msg=name)
+
+
 class TestPallasRollout:
     """Fused whole-horizon rollout kernel (interpret mode; mean path —
     the sampled path needs the TPU PRNG and is probed on silicon by
