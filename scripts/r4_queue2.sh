@@ -14,6 +14,12 @@ if [ -f /tmp/r4_queue1.pid ]; then
   while kill -0 $(cat /tmp/r4_queue1.pid) 2>/dev/null; do sleep 60; done
 fi
 
+# measurement for the two new fused kernels first (VERDICT r4 task 5 /
+# criterion 5) — cheap and high-information if the round runs short
+echo "=== phase bench (fused likelihood + scan) $(date +%H:%M:%S) ==="
+timeout 3600 python scripts/phase_bench.py 2>&1 \
+  | grep -v cpu_aot_loader | tail -25
+
 COMMON="preset=stove_gravity num_epochs=260 steps_per_epoch=20 window=16 \
 overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \
 ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
