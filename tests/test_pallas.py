@@ -205,6 +205,12 @@ class TestFusedScan:
         cfg, params, args = self._setup(velocity_obs="filtered")
         self._compare(cfg, params, args)
 
+    def test_matches_xla_four_objects(self):
+        """O=4: the statically enumerated alignment grows to 24
+        permutations (the 4-ball generalization row)."""
+        cfg, params, args = self._setup(num_obj=4)
+        self._compare(cfg, params, args)
+
     def test_infer_dispatch_matches(self):
         """cfg.scan_impl='pallas' must reproduce the XLA infer end-to-end
         (same keys → same ε; forced through the non-TPU gate)."""
