@@ -51,9 +51,15 @@ SPEC = {
 
 def run_cmd(args, timeout):
     print("+ " + " ".join(args), flush=True)
-    return subprocess.run(args, cwd=REPO, timeout=timeout,
-                          stdout=subprocess.DEVNULL,
-                          stderr=subprocess.DEVNULL).returncode
+    try:
+        return subprocess.run(args, cwd=REPO, timeout=timeout,
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.DEVNULL).returncode
+    except subprocess.TimeoutExpired:
+        # record the attempt as failed instead of killing the whole
+        # multi-slot protocol (tunnel stalls of ~15 min are known)
+        print(f"! timeout after {timeout}s", flush=True)
+        return 124
 
 
 def train(common, overrides, timeout):
