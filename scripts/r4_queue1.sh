@@ -27,7 +27,7 @@ overshoot_k=8 overshoot_weight=100.0 reward_overshoot_weight=1.0"
 
 for SEED in 0 1 2; do
   echo "=== basin-protocol avoidance train seed $SEED $(date +%H:%M:%S) ==="
-  timeout 3600 python -m stove_tpu.main $COMMON seed=$SEED \
+  timeout 5400 python -m stove_tpu.main $COMMON seed=$SEED \
     run_name=r4a_dense_s$SEED 2>&1 | tail -3
 done
 

@@ -26,7 +26,7 @@ ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
 
 for s in 21 22 23 24; do
   echo "=== r4g_grav_s$s (multi-horizon sigma) $(date +%H:%M:%S) ==="
-  timeout 3600 python -m stove_tpu.main $COMMON seed=$s \
+  timeout 5400 python -m stove_tpu.main $COMMON seed=$s \
     run_name=r4g_grav_s$s 2>&1 | tail -2
 done
 

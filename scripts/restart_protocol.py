@@ -45,7 +45,7 @@ SPEC = {
     "billiards": dict(common=BIL, stage1=240, total=360,
                       timeout1=3600, timeout2=2700),
     "gravity": dict(common=GRAV, stage1=20, total=260,
-                    timeout1=1800, timeout2=3600),
+                    timeout1=1800, timeout2=5400),
 }
 
 
