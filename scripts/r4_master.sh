@@ -4,6 +4,7 @@
 # /tmp/r4_queueN.log; progress greppable via /tmp/r4_master.log.
 set -u
 cd /root/repo
+mkdir -p runs   # wiped by VM resets; every stage writes artifacts here
 log() { echo "[master] $1 $(date +%H:%M:%S)" >> /tmp/r4_master.log; }
 
 log "waiting for TPU"
@@ -28,6 +29,13 @@ log "model choice"
 MODEL=$(python scripts/r4_choose_model.py 2>&1 | tee -a /tmp/r4_master.log | tail -1)
 log "chosen: $MODEL"
 
+# phase bench needs no trained model and is the cheapest high-information
+# stage (VERDICT r4 task 3 accept/reject measurement) — run it before the
+# multi-hour planning sweeps in case the round runs short.
+log "phase bench (fused likelihood + scan measurement)"
+timeout 3600 python scripts/phase_bench.py > /tmp/r4_phasebench.log 2>&1
+log "phase bench done"
+
 log "queue3 start (planning measurements)"
 MODEL="$MODEL" bash scripts/r4_queue3.sh > /tmp/r4_queue3.log 2>&1
 log "queue3 done"
@@ -35,10 +43,6 @@ log "queue3 done"
 log "queue2 start (gravity multi-horizon sigma)"
 bash scripts/r4_queue2.sh > /tmp/r4_queue2.log 2>&1
 log "queue2 done"
-
-log "phase bench (fused likelihood measurement)"
-timeout 3600 python scripts/phase_bench.py > /tmp/r4_phasebench.log 2>&1
-log "phase bench done"
 
 log "queue4 start (restart protocol + rescues)"
 bash scripts/r4_queue4.sh > /tmp/r4_queue4.log 2>&1

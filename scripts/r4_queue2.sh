@@ -16,9 +16,12 @@ fi
 
 # measurement for the two new fused kernels first (VERDICT r4 task 5 /
 # criterion 5) — cheap and high-information if the round runs short
-echo "=== phase bench (fused likelihood + scan) $(date +%H:%M:%S) ==="
-timeout 3600 python scripts/phase_bench.py 2>&1 \
-  | grep -v cpu_aot_loader | tail -25
+# (skipped if the master pipeline already ran it earlier in the chain)
+if [ ! -s runs/phase_bench.json ]; then
+  echo "=== phase bench (fused likelihood + scan) $(date +%H:%M:%S) ==="
+  timeout 3600 python scripts/phase_bench.py 2>&1 \
+    | grep -v cpu_aot_loader | tail -25
+fi
 
 COMMON="preset=stove_gravity num_epochs=260 steps_per_epoch=20 window=16 \
 overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \

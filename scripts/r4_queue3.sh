@@ -30,14 +30,23 @@ PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
   timeout 10800 python scripts/plan_shrink_sweep.py "$MODEL" 80 \
   2>&1 | grep -v cpu_aot_loader | tail -8
 
-echo "=== tree-mode control on r3p $(date +%H:%M:%S) ==="
-PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
-  timeout 10800 python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
-  2>&1 | grep -v cpu_aot_loader | tail -8
+if [ -d runs/r3p_dense2k ]; then
+  echo "=== tree-mode control on r3p $(date +%H:%M:%S) ==="
+  PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
+    timeout 10800 python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
+    2>&1 | grep -v cpu_aot_loader | tail -8
 
-echo "=== lambda 0.60 arm on r3p (CI bulletproofing) $(date +%H:%M:%S) ==="
-PS_TAG=_l60_80 PS_BUDGETS=864 PS_LAMBDAS=0.6 timeout 5400 \
-  python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
-  2>&1 | grep -v cpu_aot_loader | tail -6
+  echo "=== lambda 0.60 arm on r3p (CI bulletproofing) $(date +%H:%M:%S) ==="
+  PS_TAG=_l60_80 PS_BUDGETS=864 PS_LAMBDAS=0.6 timeout 5400 \
+    python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
+    2>&1 | grep -v cpu_aot_loader | tail -6
+else
+  # runs/ was wiped by the 2026-08-18 VM reset; the round-3 checkpoint is
+  # unrecoverable.  The lambda=0.60 CI point and the tree-mode control are
+  # instead taken on $MODEL (the fine-lambda sweep above already brackets
+  # 0.60 with 0.55/0.65, and the tree arms run on the strongest model —
+  # which is the comparison that decides the criterion).
+  echo "=== r3p control arms SKIPPED (runs/r3p_dense2k lost in VM reset) ==="
+fi
 
 echo "=== queue3 done $(date +%H:%M:%S) ==="
