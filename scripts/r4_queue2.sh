@@ -14,6 +14,14 @@ if [ -f /tmp/r4_queue1.pid ]; then
   while kill -0 $(cat /tmp/r4_queue1.pid) 2>/dev/null; do sleep 60; done
 fi
 
+# round ends ~17:30 UTC 2026-08-18; stop starting stages after 16:55 so
+# the driver's round-end bench gets the TPU to itself
+DEADLINE="${R4_DEADLINE:-1787072100}"
+ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+  echo "=== DEADLINE passed — skipping remaining queue2 stages ==="; exit 0
+fi; }
+ddl
+
 # measurement for the two new fused kernels first (VERDICT r4 task 5 /
 # criterion 5) — cheap and high-information if the round runs short
 # (skipped if the master pipeline already ran it earlier in the chain)
@@ -28,11 +36,13 @@ overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \
 ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
 
 for s in 21 22 23 24; do
+  ddl
   echo "=== r4g_grav_s$s (multi-horizon sigma) $(date +%H:%M:%S) ==="
   timeout 5400 python -m stove_tpu.main $COMMON seed=$s \
     run_name=r4g_grav_s$s 2>&1 | tail -2
 done
 
+ddl
 echo "=== gravity selection protocol $(date +%H:%M:%S) ==="
 GS_TAG=_r4 timeout 10800 python scripts/grav_select.py \
   runs/r4g_grav_s21 runs/r4g_grav_s22 runs/r4g_grav_s23 runs/r4g_grav_s24 \

@@ -13,10 +13,18 @@ cd /root/repo
 MODEL="${MODEL:-runs/r4a_dense_s0}"
 NAME=$(basename "$MODEL")
 
+# round ends ~17:30 UTC 2026-08-18; stop starting stages after 16:55 so
+# the driver's round-end bench gets the TPU to itself
+DEADLINE="${R4_DEADLINE:-1787072100}"
+ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+  echo "=== DEADLINE passed — skipping remaining queue3 stages ==="; exit 0
+fi; }
+
 echo "=== branch diag $NAME $(date +%H:%M:%S) ==="
 timeout 2400 python scripts/plan_branch_diag.py "$MODEL" 64 16 \
   2>&1 | grep -v cpu_aot_loader | tail -15
 
+ddl
 echo "=== fine-lambda 80ep sweep $NAME $(date +%H:%M:%S) ==="
 PS_TAG=_fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.65,0.55,0.45 timeout 9000 \
   python scripts/plan_shrink_sweep.py "$MODEL" 80 \
@@ -25,11 +33,13 @@ PS_TAG=_fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.65,0.55,0.45 timeout 9000 \
 # tree mode compounds the exponent from the ROOT (depth 5-8 tree paths at
 # budget 864), so the equivalent shrink is much stronger at equal lambda —
 # sweep milder lambdas than leaf mode's 0.55 optimum
+ddl
 echo "=== tree-mode arms $NAME $(date +%H:%M:%S) ==="
 PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
   timeout 10800 python scripts/plan_shrink_sweep.py "$MODEL" 80 \
   2>&1 | grep -v cpu_aot_loader | tail -8
 
+ddl
 if [ -d runs/r3p_dense2k ]; then
   echo "=== tree-mode control on r3p $(date +%H:%M:%S) ==="
   PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \

@@ -12,16 +12,27 @@ if [ -f /tmp/r4_queue2.pid ]; then
   while kill -0 $(cat /tmp/r4_queue2.pid) 2>/dev/null; do sleep 60; done
 fi
 
+# round ends ~17:30 UTC 2026-08-18; stop starting stages after 16:55 so
+# the driver's round-end bench gets the TPU to itself
+DEADLINE="${R4_DEADLINE:-1787072100}"
+ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+  echo "=== DEADLINE passed — skipping remaining queue4 stages ==="; exit 0
+fi; }
+ddl
+
 echo "=== restart protocol: gravity seeds 30-34 $(date +%H:%M:%S) ==="
 timeout 21600 python scripts/restart_protocol.py gravity 30 31 32 33 34 \
   2>&1 | tail -30
 
+ddl
 echo "=== restart protocol: billiards seeds 15-19 $(date +%H:%M:%S) ==="
 timeout 28800 python scripts/restart_protocol.py billiards 15 16 17 18 19 \
   2>&1 | tail -30
 
+ddl
 # the three round-2 plateau runs on disk (final mse@8: r2a_s2 0.0431,
 # r2a_s4 0.0555, r2f_s1 0.0413) -> rescue trials n=2 -> n=5
+# (lost in the 2026-08-18 VM reset; the [ -d ] guard skips them)
 echo "=== rescue evidence: round-2 plateau seeds $(date +%H:%M:%S) ==="
 for r in r2a_bil_seed2 r2a_bil_seed4 r2f_bil_seed1; do
   if [ -d runs/$r ]; then
