@@ -20,6 +20,7 @@ DEADLINE="${R4_DEADLINE:-1787072100}"
 ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
   echo "=== DEADLINE passed — skipping remaining queue2 stages ==="; exit 0
 fi; }
+tmo() { r=$((DEADLINE - $(date +%s))); [ "$r" -lt "$1" ] && echo "$r" || echo "$1"; }
 ddl
 
 # measurement for the two new fused kernels first (VERDICT r4 task 5 /
@@ -27,7 +28,7 @@ ddl
 # (skipped if the master pipeline already ran it earlier in the chain)
 if [ ! -s runs/phase_bench.json ]; then
   echo "=== phase bench (fused likelihood + scan) $(date +%H:%M:%S) ==="
-  timeout 3600 python scripts/phase_bench.py 2>&1 \
+  timeout $(tmo 3600) python scripts/phase_bench.py 2>&1 \
     | grep -v cpu_aot_loader | tail -25
 fi
 
@@ -38,13 +39,13 @@ ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
 for s in 21 22 23 24; do
   ddl
   echo "=== r4g_grav_s$s (multi-horizon sigma) $(date +%H:%M:%S) ==="
-  timeout 5400 python -m stove_tpu.main $COMMON seed=$s \
+  timeout $(tmo 5400) python -m stove_tpu.main $COMMON seed=$s \
     run_name=r4g_grav_s$s 2>&1 | tail -2
 done
 
 ddl
 echo "=== gravity selection protocol $(date +%H:%M:%S) ==="
-GS_TAG=_r4 timeout 10800 python scripts/grav_select.py \
+GS_TAG=_r4 timeout $(tmo 10800) python scripts/grav_select.py \
   runs/r4g_grav_s21 runs/r4g_grav_s22 runs/r4g_grav_s23 runs/r4g_grav_s24 \
   2>&1 | grep -v cpu_aot_loader | tail -40
 

@@ -19,14 +19,15 @@ DEADLINE="${R4_DEADLINE:-1787072100}"
 ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
   echo "=== DEADLINE passed — skipping remaining queue3 stages ==="; exit 0
 fi; }
+tmo() { r=$((DEADLINE - $(date +%s))); [ "$r" -lt "$1" ] && echo "$r" || echo "$1"; }
 
 echo "=== branch diag $NAME $(date +%H:%M:%S) ==="
-timeout 2400 python scripts/plan_branch_diag.py "$MODEL" 64 16 \
+timeout $(tmo 2400) python scripts/plan_branch_diag.py "$MODEL" 64 16 \
   2>&1 | grep -v cpu_aot_loader | tail -15
 
 ddl
 echo "=== fine-lambda 80ep sweep $NAME $(date +%H:%M:%S) ==="
-PS_TAG=_fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.65,0.55,0.45 timeout 9000 \
+PS_TAG=_fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.65,0.55,0.45 timeout $(tmo 9000) \
   python scripts/plan_shrink_sweep.py "$MODEL" 80 \
   2>&1 | grep -v cpu_aot_loader | tail -10
 
@@ -36,18 +37,18 @@ PS_TAG=_fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.65,0.55,0.45 timeout 9000 \
 ddl
 echo "=== tree-mode arms $NAME $(date +%H:%M:%S) ==="
 PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
-  timeout 10800 python scripts/plan_shrink_sweep.py "$MODEL" 80 \
+  timeout $(tmo 10800) python scripts/plan_shrink_sweep.py "$MODEL" 80 \
   2>&1 | grep -v cpu_aot_loader | tail -8
 
 ddl
 if [ -d runs/r3p_dense2k ]; then
   echo "=== tree-mode control on r3p $(date +%H:%M:%S) ==="
   PS_TAG=_tree80 PS_MODE=tree PS_BUDGETS=864 PS_LAMBDAS=0.85,0.75,0.65,0.55 \
-    timeout 10800 python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
+    timeout $(tmo 10800) python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
     2>&1 | grep -v cpu_aot_loader | tail -8
 
   echo "=== lambda 0.60 arm on r3p (CI bulletproofing) $(date +%H:%M:%S) ==="
-  PS_TAG=_l60_80 PS_BUDGETS=864 PS_LAMBDAS=0.6 timeout 5400 \
+  PS_TAG=_l60_80 PS_BUDGETS=864 PS_LAMBDAS=0.6 timeout $(tmo 5400) \
     python scripts/plan_shrink_sweep.py runs/r3p_dense2k 80 \
     2>&1 | grep -v cpu_aot_loader | tail -6
 else

@@ -18,15 +18,16 @@ DEADLINE="${R4_DEADLINE:-1787072100}"
 ddl() { if [ "$(date +%s)" -gt "$DEADLINE" ]; then
   echo "=== DEADLINE passed — skipping remaining queue4 stages ==="; exit 0
 fi; }
+tmo() { r=$((DEADLINE - $(date +%s))); [ "$r" -lt "$1" ] && echo "$r" || echo "$1"; }
 ddl
 
 echo "=== restart protocol: gravity seeds 30-34 $(date +%H:%M:%S) ==="
-timeout 21600 python scripts/restart_protocol.py gravity 30 31 32 33 34 \
+timeout $(tmo 21600) python scripts/restart_protocol.py gravity 30 31 32 33 34 \
   2>&1 | tail -30
 
 ddl
 echo "=== restart protocol: billiards seeds 15-19 $(date +%H:%M:%S) ==="
-timeout 28800 python scripts/restart_protocol.py billiards 15 16 17 18 19 \
+timeout $(tmo 28800) python scripts/restart_protocol.py billiards 15 16 17 18 19 \
   2>&1 | tail -30
 
 ddl
@@ -36,12 +37,12 @@ ddl
 echo "=== rescue evidence: round-2 plateau seeds $(date +%H:%M:%S) ==="
 for r in r2a_bil_seed2 r2a_bil_seed4 r2f_bil_seed1; do
   if [ -d runs/$r ]; then
-    timeout 2700 python scripts/anneal_cycle.py runs/$r 120 0.3 2>&1 | tail -2
+    timeout $(tmo 2700) python scripts/anneal_cycle.py runs/$r 120 0.3 2>&1 | tail -2
   fi
 done
 
 echo "=== posthoc: protocol + rescue outcomes $(date +%H:%M:%S) ==="
-timeout 3600 python scripts/posthoc_eval.py \
+timeout $(tmo 3600) python scripts/posthoc_eval.py \
   $(ls -d runs/r4rp_bill_s* runs/*_cyc120 2>/dev/null) 2>&1 | tail -30
 
 echo "=== queue4 done $(date +%H:%M:%S) ==="
