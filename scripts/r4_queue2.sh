@@ -23,6 +23,15 @@ fi; }
 tmo() { r=$((DEADLINE - $(date +%s))); [ "$r" -lt "$1" ] && echo "$r" || echo "$1"; }
 ddl
 
+# the 07:15 probe OOM'd scoped vmem on its tile-1024 arm (fixed by the
+# vmem_limit_bytes raise in pallas_spn) — finish it if still incomplete
+if ! grep -q probe_complete runs/pallas_probe.json 2>/dev/null; then
+  echo "=== SPN pallas gate re-probe after vmem fix $(date +%H:%M:%S) ==="
+  timeout $(tmo 1800) python scripts/pallas_probe.py 2>&1 \
+    | grep -v cpu_aot_loader | tail -12
+fi
+
+ddl
 # measurement for the two new fused kernels first (VERDICT r4 task 5 /
 # criterion 5) — cheap and high-information if the round runs short
 # (skipped if the master pipeline already ran it earlier in the chain)

@@ -188,6 +188,12 @@ def _fused_forward(spec: spn_lib.SpnSpec, params, x, weight,
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        # large tiles (≥2048 rows) exceed the 16M default scoped-vmem
+        # budget (probe measured 24.45M at tile 4096) — raise it like the
+        # likelihood/scan kernels do
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, weight, mu_t, std_t, scope_t, *sum_w2t, *blocksums,
       root_logw.reshape(1, -1))
