@@ -73,6 +73,12 @@ def main():
     T, O, P = cfg.window, cfg.num_obj, cfg.patch_size
     record("config", f"B={B} T={T} impl={cfg.spn_impl} iters={ITERS}")
 
+    # Resolve the pallas gate HERE, outside any trace, and record the
+    # decision — the 08:46 run consulted it first from inside a jit
+    # trace, the probe raised, and every "pallas" arm silently measured
+    # the dense fallback (likelihood_pallas_maxerr == 0.0 exactly).
+    record("pallas_gate", bool(supair_lib._pallas_available()))
+
     frames = jax.random.uniform(jax.random.key(2),
                                 (B, T, cfg.img_size, cfg.img_size))
     flat = frames.reshape(B * T, cfg.img_size, cfg.img_size)
@@ -117,8 +123,11 @@ def main():
     record("likelihood_fwd_ms",
            round(1e3 * timeit(lik_f, params, flat, boxes), 2))
 
-    # fused whole-likelihood kernel arms (VERDICT r4 task 3)
-    if os.environ.get("PB_PALLAS_LIK", "1") == "1":
+    # fused whole-likelihood kernel arms (VERDICT r4 task 3); with the
+    # gate off the "pallas" config is a silent dense fallback, so the
+    # measurement would be meaningless — skip instead
+    if (os.environ.get("PB_PALLAS_LIK", "1") == "1"
+            and supair_lib._pallas_available()):
         try:
             cfg_p = cfg.with_overrides(likelihood_impl="pallas")
             lik_p = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
@@ -203,7 +212,8 @@ def main():
             record("full_elbo_pallas_scan_error",
                    f"{type(e).__name__}: {e}")
 
-    if os.environ.get("PB_PALLAS_LIK", "1") == "1":
+    if (os.environ.get("PB_PALLAS_LIK", "1") == "1"
+            and supair_lib._pallas_available()):
         try:
             cfg_p = cfg.with_overrides(likelihood_impl="pallas")
             specs_p = stove_lib.make_specs(jax.random.key(0), cfg_p)

@@ -40,17 +40,26 @@ import functools
 
 
 def _probe_pallas() -> bool:
-    """Compile + run one trivial pallas_call and verify the result."""
+    """Compile + run one trivial pallas_call and verify the result.
+
+    The gate is consulted from inside model functions, which are almost
+    always being jit-traced when first called — under omnistaging even
+    constant-input ops stage into the outer jaxpr, so the probe must run
+    under ensure_compile_time_eval or float(sum) sees a tracer and the
+    gate silently caches False (exactly what the 08:46 phase bench
+    measured: "pallas" arms that were dense fallbacks with maxerr 0.0).
+    """
     try:
         from jax.experimental import pallas as pl
 
         def k(x_ref, o_ref):
             o_ref[:] = x_ref[:] * 2.0
 
-        y = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
-            jnp.ones((8, 128), jnp.float32))
-        return bool(abs(float(jnp.sum(y)) - 2.0 * 8 * 128) < 1e-3)
+        with jax.ensure_compile_time_eval():
+            y = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
+                jnp.ones((8, 128), jnp.float32))
+            return bool(abs(float(jnp.sum(y)) - 2.0 * 8 * 128) < 1e-3)
     except Exception as e:  # Mosaic unavailable / lowering error / ...
         print(f"[pallas] probe raised {type(e).__name__}: {e}", flush=True)
         return False

@@ -347,3 +347,49 @@ class TestPallasRollout:
                                       dtype=jnp.float32, interpret=True)
         assert float(jnp.max(jnp.abs(got_s - ref_s))) < 1e-4
         assert float(jnp.max(jnp.abs(got_r - ref_r))) < 1e-5
+
+
+class TestPallasGateUnderTrace:
+    """The probe-based availability gate (supair._pallas_available) is
+    consulted from inside model functions, i.e. almost always while the
+    caller is being jit-traced.  Under omnistaging every op staged during
+    tracing yields tracers, so the probe must escape the trace
+    (ensure_compile_time_eval) — the un-escaped probe raised
+    ConcretizationTypeError, cached False, and silently turned every
+    "pallas" config into a dense fallback (2026-08-18 phase bench:
+    likelihood_pallas_maxerr == 0.0 exactly)."""
+
+    def test_probe_inside_jit_matches_outside(self):
+        from stove_tpu.models import supair as sup
+
+        outside = sup._probe_pallas()
+
+        probed = {}
+
+        def f(x):
+            # consulted mid-trace, like supair.likelihood does
+            probed["inside"] = sup._probe_pallas()
+            return x + 1.0
+
+        y = jax.jit(f)(jnp.zeros(()))
+        assert float(y) == 1.0
+        assert isinstance(probed["inside"], bool)
+        assert probed["inside"] == outside
+
+    def test_gate_inside_jit_does_not_poison_cache(self):
+        from stove_tpu.models import supair as sup
+
+        sup._pallas_available.cache_clear()
+        try:
+            inside = {}
+
+            def f(x):
+                inside["gate"] = sup._pallas_available()
+                return x * 2.0
+
+            jax.jit(f)(jnp.ones(()))
+            # first consult happened mid-trace; the cached decision must
+            # equal a fresh outside-trace probe, not a trace artifact
+            assert inside["gate"] == sup._probe_pallas()
+        finally:
+            sup._pallas_available.cache_clear()
