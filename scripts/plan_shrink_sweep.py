@@ -70,7 +70,12 @@ def main():
     keys = jax.vmap(lambda e: jax.random.fold_in(key, e))(
         jnp.arange(episodes))
 
-    out_all = {"run": run, "episodes": episodes, "budgets": {}}
+    # self-describing provenance (advisor r4: tree-vs-leaf artifacts were
+    # distinguishable only by filename tag — weak evidence for a verdict)
+    out_all = {"run": run, "episodes": episodes,
+               "shrink_mode": MODE, "eval_samples": SAMPLES,
+               "budgets_swept": BUDGETS, "lambdas_swept": LAMBDAS,
+               "budgets": {}}
     for sims in BUDGETS:
         frontier = min(32, max(4, 4 * sims // 54))
         cfg_b = cfg0.with_overrides(mcts_simulations=sims,

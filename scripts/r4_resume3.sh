@@ -21,6 +21,18 @@ cd /root/repo
 mkdir -p runs artifacts/r4 ckpts
 log() { echo "[resume3] $1 $(date +%H:%M:%S)" >> /tmp/r4_resume3.log; }
 
+# TPU-readiness wait + deadline guard (advisor r4 low: resume2 had these,
+# resume3 didn't — a failed stage 0 after a reset silently cascaded).
+for i in $(seq 1 30); do
+  python -c "import jax; assert jax.devices()[0].platform != 'cpu'" \
+    >/dev/null 2>&1 && break
+  log "waiting for TPU ($i)"; sleep 20
+done
+R4_DEADLINE=${R4_DEADLINE:-$(( $(date +%s) + 6*3600 ))}
+ddl() {  # remaining seconds, floored at 60 so timeouts stay valid
+  r=$(( R4_DEADLINE - $(date +%s) )); [ "$r" -lt 60 ] && r=60; echo "$r"
+}
+
 persist() {
   msg="$1"; shift
   cp -f runs/*.json artifacts/r4/ 2>/dev/null
@@ -58,11 +70,22 @@ overshoot_k=8 overshoot_weight=100.0 reward_overshoot_weight=1.0"
     [ -n "$ck" ] && cp -f "$ck" ckpts/$d/
   done
 } > /tmp/r4s3_stage1.log 2>&1
-persist "r4: planner retrain #3 — weights actually in git this time (.gitignore fix)"
+# Gate the commit claim on the weights actually existing (advisor r4 low:
+# an unconditional persist recreates the ee89485 claim-without-weights bug).
+if ls ckpts/r4a_dense_s2/ckpt_*.npz >/dev/null 2>&1; then
+  persist "r4: planner retrain #3 — weights actually in git this time (.gitignore fix)"
+  git ls-files ckpts | grep -q npz || log "FAILURE: npz copied but not tracked in git"
+else
+  persist "r4: planner retrain #3 — config/metrics only, NO weights (retrain incomplete)"
+  log "FAILURE: stage1 produced no ckpt npz in ckpts/"
+fi
 log "stage1 done"
 
+# Gate on the artifact the sweep actually needs: a checkpoint, not just
+# metrics.jsonl (advisor r4 low: a timeout mid-train leaves metrics with
+# no npz and plan_shrink_sweep crashes instead of falling back).
 MODEL=runs/r4a_dense_s2_cyc120
-[ -f "$MODEL/metrics.jsonl" ] || MODEL=runs/r4a_dense_s2
+ls "$MODEL"/ckpt_*.npz >/dev/null 2>&1 || MODEL=runs/r4a_dense_s2
 
 log "stage2: lambda 0.60/0.55 CI arms on $MODEL"
 PS_TAG=_l60_80 PS_BUDGETS=864 PS_LAMBDAS=0.6,0.55 timeout 2400 \
@@ -79,11 +102,16 @@ overshoot_k=12 overshoot_sample=true eval_every=20 ckpt_every=20 \
 ckpt_keep=99 eval_longhorizon=80 open_loop_sigma=true fused_epoch=false"
   for s in 21 22 23 24; do
     echo "=== r4g_grav_s$s $(date +%H:%M:%S) ==="
-    timeout 2400 python -m stove_tpu.main $COMMON seed=$s \
+    timeout $(ddl) python -m stove_tpu.main $COMMON seed=$s \
       run_name=r4g_grav_s$s 2>&1 | tail -2
     mkdir -p ckpts/r4g_grav_s$s
     cp -f runs/r4g_grav_s$s/config.json runs/r4g_grav_s$s/metrics.jsonl \
       ckpts/r4g_grav_s$s/ 2>/dev/null
+    # persist the weights too (advisor r4 MEDIUM: config+metrics-only
+    # persistence makes the criterion-3 gravity models unrecoverable after
+    # a reset — grav_select.py needs the ckpt_*.npz files)
+    ck=$(ls runs/r4g_grav_s$s/ckpt_*.npz 2>/dev/null | tail -1)
+    [ -n "$ck" ] && cp -f "$ck" ckpts/r4g_grav_s$s/
     git add ckpts 2>/dev/null
     git -c user.name=distsys-graft -c user.email=graft@localhost \
       commit -q -m "r4: gravity sigma retrain s$s (criterion 3)" 2>/dev/null

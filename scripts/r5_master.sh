@@ -1,0 +1,231 @@
+#!/bin/bash
+# Round-5 master pipeline (VERDICT r4 "Next round: do this", in judged
+# value order after the task-1 weight commits, which the session does
+# interactively before launching this):
+#
+#  S2  criterion 5 + weak #1: same-session dense reconciliation
+#      (bench.py --train --quick, the round-2/3 instrument) then the FULL
+#      phase bench including the fused likelihood/scan arms.
+#  S3  task 4: the raw-epochs lever — one 1200-epoch avoidance arm
+#      (exact queue-4 pre-registered flags, seed 0).
+#  S4  criteria 3+4 (merged, documented in RESULTS.md round-5 plan):
+#      gravity restart protocol on 5 fresh slots; the final runs ARE
+#      multi-horizon-sigma retrains (GRAV spec = round-3 protocol +
+#      open_loop_sigma under the (1,4,8) default), so grav_select on
+#      them decides criterion 3 (raw temp=1 sampled ratio <= 1.3 on
+#      >=3/4) while the attempt table decides criterion 4 (gravity).
+#  S5  task 6: lambda {0.65,0.60,0.55} 80-episode leaf re-anchor arms on
+#      the committed cyc120 model (raw JSON artifact for the headline
+#      planning table).
+#  S6  criterion 4 (billiards): restart protocol on 5 fresh slots +
+#      posthoc; plateau attempts become anneal-cycle rescue trials
+#      (criterion 6 accrual).
+#  S7  conditional: if the e1200 arm breaks the 0.011 floor, fine-lambda
+#      sweep + branch diagnostic on it (criterion-1 follow-through).
+#
+# Every stage persists its runs/*.json into git-tracked artifacts/r5/
+# AND its weights into ckpts/ atomically, with the commit subject gated
+# on what actually exists (the ee89485 lesson).  Stages are idempotent:
+# a stage whose done-marker artifact already exists is skipped, so the
+# script can be relaunched after a VM reset.
+set -u
+cd /root/repo
+mkdir -p runs artifacts/r5 ckpts
+LOG=/tmp/r5_master.log
+log() { echo "[r5] $1 $(date +%H:%M:%S)" | tee -a "$LOG"; }
+
+# TPU-readiness wait (a reset leaves the tunnel down for a while)
+for i in $(seq 1 45); do
+  python -c "import jax; assert jax.devices()[0].platform != 'cpu'" \
+    >/dev/null 2>&1 && break
+  log "waiting for TPU ($i)"; sleep 20
+done
+
+# Hard deadline so the driver's round-end bench gets the chip; default
+# 10h from launch, override with R5_DEADLINE=<epoch seconds>.
+R5_DEADLINE=${R5_DEADLINE:-$(( $(date +%s) + 36000 ))}
+ddl() { if [ "$(date +%s)" -gt "$R5_DEADLINE" ]; then
+  log "DEADLINE passed — stopping before the next stage"; exit 0
+fi; }
+tmo() { r=$(( R5_DEADLINE - $(date +%s) )); [ "$r" -lt "$1" ] && echo "$r" || echo "$1"; }
+
+GIT="git -c user.name=distsys-graft -c user.email=graft@localhost"
+
+# persist_run <run_dir> : copy config+metrics+latest npz into ckpts/<run>/
+persist_run() {
+  r=$(basename "$1")
+  mkdir -p "ckpts/$r"
+  cp -f "runs/$r/config.json" "runs/$r/metrics.jsonl" "ckpts/$r/" 2>/dev/null
+  ck=$(ls "runs/$r"/ckpt_*.npz 2>/dev/null | tail -1)
+  [ -n "$ck" ] && cp -f "$ck" "ckpts/$r/"
+}
+
+# commit_gated <subject-if-weights> <subject-if-not> <paths...>
+commit_gated() {
+  ok_msg="$1"; bad_msg="$2"; shift 2
+  $GIT add -A artifacts/r5 ckpts "$@" 2>/dev/null
+  if git diff --cached --name-only | grep -q '\.npz$'; then
+    $GIT commit -q -m "$ok_msg" || true
+  else
+    $GIT commit -q -m "$bad_msg" || true
+  fi
+}
+
+# ---------- S2: criterion 5 + dense reconciliation ----------
+ddl
+if [ ! -f artifacts/r5/phase_bench_r5.json ]; then
+  log "S2: dense reconciliation (bench.py --train --quick, round-2/3 instrument)"
+  timeout $(tmo 1800) python bench.py --train --quick \
+    > artifacts/r5/trainbench_recon.txt 2>&1
+  log "S2: full phase bench with fused arms"
+  rm -f runs/phase_bench.json
+  PB_S2D=1 timeout $(tmo 3600) python scripts/phase_bench.py \
+    > /tmp/r5_phasebench.log 2>&1
+  cp -f runs/phase_bench.json artifacts/r5/phase_bench_r5.json 2>/dev/null
+  $GIT add artifacts/r5 && $GIT commit -q -m \
+    "r5 artifacts: phase bench (contents: $(python -c "
+import json;d=json.load(open('artifacts/r5/phase_bench_r5.json'));print(','.join(k for k in d if k.endswith('_ms') or 'windows' in k)[:180])" 2>/dev/null || echo unknown)) + bench.py dense recon" || true
+  log "S2 done"
+fi
+
+# ---------- S3: the raw-epochs lever (e1200) ----------
+ddl
+if ! ls ckpts/r5a_dense_s0_e1200/ckpt_*.npz >/dev/null 2>&1; then
+  log "S3: 1200-epoch avoidance arm (exact queue-4 flags, seed 0)"
+  timeout $(tmo 7200) python -m stove_tpu.main preset=avoidance_dense \
+    num_train=2000 window=12 steps_per_epoch=20 num_epochs=1200 \
+    eval_every=100 ckpt_every=1200 fused_epoch=false debug_anneal_lr=1.0 \
+    anneal_final=0.01 supair_only_epochs=3 encoder_space_to_depth=2 \
+    encoder_channels=32,64,128 overshoot_k=8 overshoot_weight=100.0 \
+    reward_overshoot_weight=1.0 seed=0 run_name=r5a_dense_s0_e1200 \
+    > /tmp/r5_e1200.log 2>&1
+  persist_run runs/r5a_dense_s0_e1200
+  commit_gated \
+    "r5: 1200-epoch avoidance arm — weights + metrics persisted" \
+    "r5: 1200-epoch avoidance arm — metrics only, NO weights (incomplete)"
+  log "S3 done"
+fi
+
+# ---------- S4: gravity restart protocol (criteria 3+4 merged) ----------
+ddl
+if [ ! -f artifacts/r5/grav_select_r5.json ]; then
+  log "S4: gravity restart protocol, slots 30-34"
+  timeout $(tmo 18000) python scripts/restart_protocol.py gravity \
+    30 31 32 33 34 > /tmp/r5_rp_grav.log 2>&1
+  cp -f runs/restart_protocol_gravity.json artifacts/r5/ 2>/dev/null
+  # persist EVERY final-run's weights (advisor r4 MEDIUM: grav_select
+  # needs the ckpt_*.npz; config+metrics-only persistence orphans it)
+  FINALS=$(python - <<'PYEOF'
+import json
+try:
+    d = json.load(open("runs/restart_protocol_gravity.json"))
+    print(" ".join(f"runs/{v['final_run']}" for v in d.values()
+                   if v.get("final_run")))
+except Exception:
+    pass
+PYEOF
+)
+  for f in $FINALS; do persist_run "$f"; done
+  commit_gated \
+    "r5 artifacts: gravity restart-protocol attempt table + final-run weights" \
+    "r5 artifacts: gravity restart-protocol attempt table (no final weights yet)"
+  if [ -n "$FINALS" ]; then
+    log "S4: grav_select (criterion 3) on: $FINALS"
+    GS_TAG=_r5 timeout $(tmo 7200) python scripts/grav_select.py $FINALS \
+      > /tmp/r5_gravsel.log 2>&1
+    cp -f runs/grav_select_r5.json artifacts/r5/ 2>/dev/null
+    # persist the SELECTED checkpoint of each final run (not just the
+    # latest): copy the step grav_select chose
+    python - <<'PYEOF'
+import json, os, shutil
+try:
+    sel = json.load(open("runs/grav_select_r5.json"))
+except Exception:
+    raise SystemExit
+for run, v in sel.items():
+    name = os.path.basename(run.rstrip("/"))
+    src = f"{run}/ckpt_{v['step']:08d}.npz"
+    if os.path.exists(src):
+        os.makedirs(f"ckpts/{name}", exist_ok=True)
+        shutil.copy(src, f"ckpts/{name}/")
+PYEOF
+    commit_gated \
+      "r5 artifacts: gravity selection (criterion 3) + selected-step weights" \
+      "r5 artifacts: gravity selection (criterion 3), selected weights missing"
+  fi
+  log "S4 done"
+fi
+
+# ---------- S5: lambda re-anchor arms on the committed cyc120 ----------
+ddl
+if [ ! -f artifacts/r5/plan_shrink_sweep_r4a_dense_s2_cyc120_r5leaf80.json ]; then
+  MODEL=runs/r4a_dense_s2_cyc120
+  ls "$MODEL"/ckpt_*.npz >/dev/null 2>&1 || MODEL=runs/r4a_dense_s2
+  log "S5: lambda 0.65/0.60/0.55 80-episode leaf arms on $MODEL"
+  PS_TAG=_r5leaf80 PS_BUDGETS=864 PS_LAMBDAS=0.65,0.6,0.55 \
+    timeout $(tmo 7200) python scripts/plan_shrink_sweep.py "$MODEL" 80 \
+    > /tmp/r5_lsweep.log 2>&1
+  cp -f runs/plan_shrink_sweep_*_r5leaf80.json artifacts/r5/ 2>/dev/null
+  $GIT add artifacts/r5 && $GIT commit -q -m \
+    "r5 artifacts: lambda 0.65/0.60/0.55 leaf re-anchor arms (raw scores)" || true
+  log "S5 done"
+fi
+
+# ---------- S6: billiards restart protocol ----------
+ddl
+if [ ! -f artifacts/r5/restart_protocol_billiards.json ]; then
+  log "S6: billiards restart protocol, slots 15-19"
+  timeout $(tmo 21600) python scripts/restart_protocol.py billiards \
+    15 16 17 18 19 > /tmp/r5_rp_bil.log 2>&1
+  cp -f runs/restart_protocol_billiards.json artifacts/r5/ 2>/dev/null
+  FINALS=$(python - <<'PYEOF'
+import json
+try:
+    d = json.load(open("runs/restart_protocol_billiards.json"))
+    print(" ".join(f"runs/{v['final_run']}" for v in d.values()
+                   if v.get("final_run")))
+except Exception:
+    pass
+PYEOF
+)
+  for f in $FINALS; do persist_run "$f"; done
+  log "S6: posthoc on final billiards runs"
+  timeout $(tmo 3600) python scripts/posthoc_eval.py $FINALS \
+    > artifacts/r5/restart_billiards_posthoc.txt 2>&1
+  commit_gated \
+    "r5 artifacts: billiards restart-protocol table + posthoc + final-run weights" \
+    "r5 artifacts: billiards restart-protocol table + posthoc (no weights yet)"
+  log "S6 done"
+fi
+
+# ---------- S7: conditional criterion-1 follow-through on e1200 ----------
+ddl
+E1200_MSE=$(python - <<'PYEOF'
+import json
+mse = 999
+try:
+    for line in open("runs/r5a_dense_s0_e1200/metrics.jsonl"):
+        r = json.loads(line)
+        if r.get("kind") == "eval" and "mse_final" in r:
+            mse = r["mse_final"]
+except FileNotFoundError:
+    pass
+print(mse)
+PYEOF
+)
+log "S7: e1200 final mse@8 = $E1200_MSE (floor-break bar: < 0.011)"
+if python -c "import sys; sys.exit(0 if float('$E1200_MSE') < 0.011 else 1)"; then
+  if [ ! -f artifacts/r5/plan_shrink_sweep_r5a_dense_s0_e1200_r5fine80.json ]; then
+    log "S7: floor broken — branch diag + fine-lambda sweep on e1200"
+    timeout $(tmo 3600) python scripts/plan_branch_diag.py \
+      runs/r5a_dense_s0_e1200 > artifacts/r5/branch_diag_e1200.txt 2>&1
+    cp -f runs/plan_branch_diag_r5a_dense_s0_e1200.json artifacts/r5/ 2>/dev/null
+    PS_TAG=_r5fine80 PS_BUDGETS=864 PS_LAMBDAS=1.0,0.55 \
+      timeout $(tmo 7200) python scripts/plan_shrink_sweep.py \
+      runs/r5a_dense_s0_e1200 80 > /tmp/r5_e1200_sweep.log 2>&1
+    cp -f runs/plan_shrink_sweep_*_r5fine80.json artifacts/r5/ 2>/dev/null
+    $GIT add artifacts/r5 && $GIT commit -q -m \
+      "r5 artifacts: e1200 branch diagnostic + fine-lambda arms (raw scores)" || true
+  fi
+fi
+log "ALL STAGES DONE"
