@@ -179,3 +179,19 @@ class TestRestartProtocolTriggers:
         self._write(tmp_path, "collapsed", rows)
         tripped, _ = rp.trigger_gravity("collapsed", 20)
         assert tripped
+
+
+class TestClaimsGuard:
+    """Committed measurement artifacts must cite models whose weights are
+    persisted (VERDICT r4 task 1 — the ee89485 'persisted claim without
+    weights' failure, mechanically prevented)."""
+
+    def test_artifact_cited_models_have_weights(self):
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "check_claims.py")],
+            capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stderr
