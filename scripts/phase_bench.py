@@ -17,10 +17,20 @@ Writes runs/phase_bench.json.
 
 import json
 import os
+import resource
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Address-space ceiling: the round-5 run of this bench was OOM-KILLED by
+# the kernel (130 GB anon RSS on a 125 GB host) while compiling the grad
+# of the fused pallas likelihood at B=1024 — losing every row after
+# likelihood_fwd_ms for the second round running.  With a hard rlimit the
+# allocation fails INSIDE the process as MemoryError/bad_alloc, the arm's
+# try/except records the failure, and the remaining arms still run.
+_AS_LIMIT = int(os.environ.get("PB_AS_GB", "96")) << 30
+resource.setrlimit(resource.RLIMIT_AS, (_AS_LIMIT, _AS_LIMIT))
 
 B = int(os.environ.get("PB_BATCH", "1024"))
 ITERS = int(os.environ.get("PB_ITERS", "10"))
@@ -123,31 +133,6 @@ def main():
     record("likelihood_fwd_ms",
            round(1e3 * timeit(lik_f, params, flat, boxes), 2))
 
-    # fused whole-likelihood kernel arms (VERDICT r4 task 3); with the
-    # gate off the "pallas" config is a silent dense fallback, so the
-    # measurement would be meaningless — skip instead
-    if (os.environ.get("PB_PALLAS_LIK", "1") == "1"
-            and supair_lib._pallas_available()):
-        try:
-            cfg_p = cfg.with_overrides(likelihood_impl="pallas")
-            lik_p = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
-                p["supair"], cfg_p, specs.supair, f, b)))
-            record("likelihood_pallas_ms",
-                   round(1e3 * timeit(lik_p, params, flat, boxes), 2))
-            lik_pf = lambda p, f, b: jnp.sum(supair_lib.likelihood(
-                p["supair"], cfg_p, specs.supair, f, b)) * jnp.ones(())
-            record("likelihood_pallas_fwd_ms",
-                   round(1e3 * timeit(lik_pf, params, flat, boxes), 2))
-            # numerical sanity on-device (bf16 MXU passes both paths)
-            a = supair_lib.likelihood(params["supair"], cfg, specs.supair,
-                                      flat[:256], boxes[:256])
-            b = supair_lib.likelihood(params["supair"], cfg_p, specs.supair,
-                                      flat[:256], boxes[:256])
-            record("likelihood_pallas_maxerr",
-                   float(jnp.max(jnp.abs(a - b))))
-        except Exception as e:
-            record("likelihood_pallas_error", f"{type(e).__name__}: {e}")
-
     # posterior scan alone: fwd+bwd and fwd-only, XLA vs fused kernel
     T2, O, D = T - 2, cfg.num_obj, cfg.full_state_dim
     ks = jax.random.split(jax.random.key(11), 8)
@@ -170,10 +155,21 @@ def main():
         jax.grad(lambda p: scan_loss(p, "xla")), params), 2))
     record("scan_xla_fwd_ms", round(1e3 * timeit(
         lambda p: scan_loss(p, "xla"), params), 2))
+
+    # full elbo — the dense profile of record; measured BEFORE any fused
+    # arm so a kernel-compile incident can never lose it again
+    full = jax.grad(lambda p, f: stove_lib.elbo(
+        p, cfg, specs, f, None, None, jax.random.key(7)).loss)
+    t_full = timeit(full, params, frames)
+    record("full_elbo_ms", round(1e3 * t_full, 2))
+    record("windows_per_sec", round(B / t_full, 1))
+
+    # ---- fused-kernel arms (VERDICT r4 task 3), riskiest LAST ----
     if os.environ.get("PB_PALLAS_SCAN", "1") == "1":
         try:
             import stove_tpu.models.supair as _sup
             if _sup._pallas_available():
+                record("attempting", "scan_pallas")
                 record("scan_pallas_ms", round(1e3 * timeit(
                     jax.grad(lambda p: scan_loss(p, "pallas")), params), 2))
                 record("scan_pallas_fwd_ms", round(1e3 * timeit(
@@ -181,17 +177,11 @@ def main():
         except Exception as e:
             record("scan_pallas_error", f"{type(e).__name__}: {e}")
 
-    # full elbo
-    full = jax.grad(lambda p, f: stove_lib.elbo(
-        p, cfg, specs, f, None, None, jax.random.key(7)).loss)
-    t_full = timeit(full, params, frames)
-    record("full_elbo_ms", round(1e3 * t_full, 2))
-    record("windows_per_sec", round(B / t_full, 1))
-
     if os.environ.get("PB_PALLAS_SCAN", "1") == "1":
         try:
             import stove_tpu.models.supair as _sup
             if _sup._pallas_available():
+                record("attempting", "full_elbo_pallas_scan")
                 cfg_s = cfg.with_overrides(scan_impl="pallas")
                 full_s = jax.grad(lambda p, f: stove_lib.elbo(
                     p, cfg_s, specs, f, None, None,
@@ -199,32 +189,57 @@ def main():
                 t_fs = timeit(full_s, params, frames)
                 record("full_elbo_pallas_scan_ms", round(1e3 * t_fs, 2))
                 record("windows_per_sec_pallas_scan", round(B / t_fs, 1))
-                # both fused paths together
-                cfg_b = cfg.with_overrides(scan_impl="pallas",
-                                           likelihood_impl="pallas")
-                full_b = jax.grad(lambda p, f: stove_lib.elbo(
-                    p, cfg_b, specs, f, None, None,
-                    jax.random.key(7)).loss)
-                t_fb = timeit(full_b, params, frames)
-                record("full_elbo_pallas_both_ms", round(1e3 * t_fb, 2))
-                record("windows_per_sec_pallas_both", round(B / t_fb, 1))
         except Exception as e:
             record("full_elbo_pallas_scan_error",
                    f"{type(e).__name__}: {e}")
 
+    # fused whole-likelihood kernel arms — this grad compile is the one
+    # that blew past 130 GB host RSS in the r5 run; it runs LAST, behind
+    # the rlimit, with a breadcrumb row so a hard death is attributable
     if (os.environ.get("PB_PALLAS_LIK", "1") == "1"
             and supair_lib._pallas_available()):
         try:
             cfg_p = cfg.with_overrides(likelihood_impl="pallas")
+            lik_pf = lambda p, f, b: jnp.sum(supair_lib.likelihood(
+                p["supair"], cfg_p, specs.supair, f, b)) * jnp.ones(())
+            record("attempting", "likelihood_pallas_fwd")
+            record("likelihood_pallas_fwd_ms",
+                   round(1e3 * timeit(lik_pf, params, flat, boxes), 2))
+            # numerical sanity on-device (bf16 MXU passes both paths)
+            a = supair_lib.likelihood(params["supair"], cfg, specs.supair,
+                                      flat[:256], boxes[:256])
+            b = supair_lib.likelihood(params["supair"], cfg_p, specs.supair,
+                                      flat[:256], boxes[:256])
+            record("likelihood_pallas_maxerr",
+                   float(jnp.max(jnp.abs(a - b))))
+            record("attempting", "likelihood_pallas_grad")
+            lik_p = jax.grad(lambda p, f, b: jnp.sum(supair_lib.likelihood(
+                p["supair"], cfg_p, specs.supair, f, b)))
+            record("likelihood_pallas_ms",
+                   round(1e3 * timeit(lik_p, params, flat, boxes), 2))
+        except Exception as e:
+            record("likelihood_pallas_error", f"{type(e).__name__}: {e}")
+        try:
+            record("attempting", "full_elbo_pallas")
             specs_p = stove_lib.make_specs(jax.random.key(0), cfg_p)
             full_p = jax.grad(lambda p, f: stove_lib.elbo(
                 p, cfg_p, specs_p, f, None, None, jax.random.key(7)).loss)
             t_fp = timeit(full_p, params, frames)
             record("full_elbo_pallas_ms", round(1e3 * t_fp, 2))
             record("windows_per_sec_pallas", round(B / t_fp, 1))
+            # both fused paths together
+            record("attempting", "full_elbo_pallas_both")
+            cfg_b = cfg.with_overrides(scan_impl="pallas",
+                                       likelihood_impl="pallas")
+            full_b = jax.grad(lambda p, f: stove_lib.elbo(
+                p, cfg_b, specs_p, f, None, None, jax.random.key(7)).loss)
+            t_fb = timeit(full_b, params, frames)
+            record("full_elbo_pallas_both_ms", round(1e3 * t_fb, 2))
+            record("windows_per_sec_pallas_both", round(B / t_fb, 1))
         except Exception as e:
             record("full_elbo_pallas_error", f"{type(e).__name__}: {e}")
 
+    record("attempting", "done")
     print("[phase] DONE", flush=True)
 
 

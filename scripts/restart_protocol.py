@@ -34,8 +34,16 @@ import sys
 
 REPO = "/root/repo"
 
-BIL = ("preset=stove_billiards debug_anneal_lr=7200 anneal_final=0.01 "
-       "eval_every=60 ckpt_every=240 fused_epoch=false").split()
+BIL = ("preset=stove_billiards steps_per_epoch=20 debug_anneal_lr=7200 "
+       "anneal_final=0.01 eval_every=60 ckpt_every=240 "
+       "fused_epoch=false").split()
+# steps_per_epoch=20 is load-bearing: the round-3 recipe is 360 ep x 20
+# steps (r3_queue1.sh), and debug_anneal_lr=7200 pins the anneal to that
+# absolute step count.  The first round-5 protocol run omitted it, so the
+# preset default (num_train//batch = 3 steps/ep) trained only ~720 of the
+# 7200 schedule steps per attempt — every attempt "tripped" with
+# overshoot 0.022-0.033 and mse@8 ~0.09 (quarantined as
+# artifacts/r5/restart_protocol_billiards_INVALID_stepbug.json).
 GRAV = ("preset=stove_gravity steps_per_epoch=20 window=16 overshoot_k=12 "
         "overshoot_sample=true open_loop_sigma=true eval_every=20 "
         "ckpt_every=20 ckpt_keep=99 eval_longhorizon=80 "

@@ -213,7 +213,7 @@ class Config:
     #   ~2x energy inflation of sampled long-horizon rollouts (VERDICT r2
     #   missing #4).  Requires overshoot_k >= 1.
     open_loop_sigma_weight: float = 1.0    # weight of the sigma-open NLL
-    open_loop_sigma_horizons: Tuple[int, ...] = (1, 4, 8)  # horizons k of
+    open_loop_sigma_horizons: Tuple[int, ...] = (1,)  # horizons k of
     #   the open-loop sigma NLL: posterior means at t+k are scored under
     #   N(mean-rollout_k, sqrt(Σ_j σ_open,j²)) — the accumulated variance a
     #   sampled rollout would actually inject over k steps.  The round-3
@@ -221,9 +221,16 @@ class Config:
     #   1-step bias + posterior-mean target noise into σ, which a sampled
     #   rollout then RE-injects as fresh iid noise every step — measured
     #   1.9–3.2× energy over-injection on 2/4 gravity seeds, patched by a
-    #   hand-swept rollout_sigma_temp (round-3 caveat).  Fitting the same
-    #   σ at k ∈ {1,4,8} forces it to match the dispersion sampled
-    #   rollouts are evaluated at.  Horizons > window−2 are dropped.
+    #   hand-swept rollout_sigma_temp (round-3 caveat).  Round 4 shipped
+    #   (1, 4, 8) as the default on the theory that fitting σ at the
+    #   evaluation dispersion closes the gap; the round-5 validating
+    #   retrains (criterion 3: 5 gravity protocol runs under (1,4,8))
+    #   measured raw temp=1 sampled 80-step speed ratios 2.1–5.4 — ALL
+    #   above the pre-registered ≤1.3 bar — so the default reverted to
+    #   (1,) and the val-calibrated rollout_sigma_temp stays the recipe
+    #   (calibrated ratios on the same models: 1.08–1.28).  Multi-horizon
+    #   fitting remains available as an override.  Horizons > window−2
+    #   are dropped.
     min_open_std: float = 0.001            # floor for the open-loop std —
     #   deliberately below min_dyn_std: true process noise of the (nearly
     #   deterministic) physics is far smaller than posterior jitter
