@@ -10,18 +10,39 @@ trained params (FRESH optimizer state + schedule).
 Usage:
   python scripts/anneal_cycle.py <run_dir> [epochs=120] [lr_frac=0.3] [tag]
 
-Writes a new run dir <run>_cyc<N>[tag].
+Writes a new run dir <run>_cyc<N>[tag], and prints a SUCCESS/FAILURE
+verdict from the post-cycle overshoot signature (measured to separate
+rescued from still-plateaued runs 9/9 across rounds 3-5: successes end
+at mean train overshoot ~= 0.005, failures stay ~= 0.014; bar 0.010,
+the same separation bar as the restart-protocol trigger —
+RESULTS.md "Budget-exhaustion salvage outcome").
 """
+import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-import jax  # noqa: E402
 
-from stove_tpu.train import checkpoint as ckpt_lib  # noqa: E402
+def rescue_signature(rows, last_epochs=10):
+    """Mean train overshoot over the final `last_epochs` epochs of a
+    cycle's metrics rows -> (mean, verdict). verdict is "SUCCESS" below
+    the 0.010 separation bar, "FAILURE" above, "UNKNOWN" with no data."""
+    tr = [r for r in rows if r.get("kind") == "train" and "overshoot" in r]
+    if not tr:
+        return float("nan"), "UNKNOWN"
+    end = max(r.get("epoch", -1) for r in tr)
+    ov = [r["overshoot"] for r in tr
+          if r.get("epoch", -1) > end - last_epochs]
+    mean = sum(ov) / len(ov)
+    return mean, ("SUCCESS" if mean < 0.010 else "FAILURE")
 
 
 def main():
+    import jax  # noqa: F401  (device init before trainer import)
+
+    from stove_tpu.train import checkpoint as ckpt_lib
+
     run = sys.argv[1]
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     lr_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
@@ -51,6 +72,14 @@ def main():
     result = trainer.train()
     print("final:", {k: v for k, v in result.items()
                      if not isinstance(v, list)})
+
+    path = os.path.join(cfg.run_dir, cfg.run_name, "metrics.jsonl")
+    with open(path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    mean, verdict = rescue_signature(rows)
+    print(f"rescue signature: {verdict} (post-cycle overshoot "
+          f"{mean:.4f}; success band ~0.005, failure band ~0.014, "
+          f"bar 0.010)")
 
 
 if __name__ == "__main__":

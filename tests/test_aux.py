@@ -195,3 +195,55 @@ class TestClaimsGuard:
                                           "check_claims.py")],
             capture_output=True, text=True)
         assert proc.returncode == 0, proc.stderr
+
+
+class TestRescueSignature:
+    """The anneal-cycle rescue's log-readable verdict (scripts/
+    anneal_cycle.py) implements the post-cycle overshoot signature that
+    separated success from failure 9/9 across rounds 3-5 (RESULTS.md
+    "Budget-exhaustion salvage outcome")."""
+
+    def _load(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "anneal_cycle", "scripts/anneal_cycle.py")
+        ac = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ac)
+        return ac
+
+    def test_success_and_failure_bands(self):
+        ac = self._load()
+        success = ([{"kind": "train", "epoch": e, "overshoot": 0.02}
+                    for e in range(110)]
+                   + [{"kind": "train", "epoch": e, "overshoot": 0.0051}
+                      for e in range(110, 120)])
+        mean, verdict = ac.rescue_signature(success)
+        assert verdict == "SUCCESS" and abs(mean - 0.0051) < 1e-9
+
+        failure = [{"kind": "train", "epoch": e, "overshoot": 0.014}
+                   for e in range(120)]
+        mean, verdict = ac.rescue_signature(failure)
+        assert verdict == "FAILURE" and abs(mean - 0.014) < 1e-9
+
+    def test_window_is_final_epochs_only(self):
+        # only the LAST 10 epochs count, eval rows are ignored
+        ac = self._load()
+        rows = ([{"kind": "train", "epoch": e, "overshoot": 0.001}
+                 for e in range(110)]
+                + [{"kind": "eval", "epoch": 119, "overshoot": 99.0}]
+                + [{"kind": "train", "epoch": e, "overshoot": 0.016}
+                   for e in range(110, 115)]
+                + [{"kind": "train", "epoch": e, "overshoot": 0.006}
+                   for e in range(115, 120)])
+        mean, verdict = ac.rescue_signature(rows)
+        # epochs 110-119 only (five at 0.016, five at 0.006); the low
+        # early epochs and the eval row must not leak in
+        assert verdict == "FAILURE" and abs(mean - 0.011) < 1e-9
+
+    def test_no_data_is_unknown_never_silent_success(self):
+        ac = self._load()
+        _, verdict = ac.rescue_signature([])
+        assert verdict == "UNKNOWN"
+        _, verdict = ac.rescue_signature(
+            [{"kind": "eval", "epoch": 5, "mse_final": 0.01}])
+        assert verdict == "UNKNOWN"
