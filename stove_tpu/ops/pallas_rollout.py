@@ -141,18 +141,40 @@ def _bits_to_normals(b1, b2):
     (tests/test_pallas.py moment test); silicon moments are checked by
     scripts/pallas_rollout_probe.py.
     """
+    return _bits_to_normal_pairs(b1, b2)[0]
+
+
+def _bits_to_normal_pairs(b1, b2):
+    """BOTH Box-Muller branches (cos and sin) from one uniform pair.
+
+    The two outputs are independent N(0,1) tensors — the classical
+    Box-Muller property — so a consumer needing N normals draws bits for
+    only N/2 of them and pays N/2 logs/sqrts instead of N (measured: the
+    noise path was 17.9% of the sampled rollout step before this,
+    artifacts/r5/kernel_probe.json).  Shift caveats as in
+    `_bits_to_normals` (logical shift on signed bits; round-3 advisor
+    finding, high).  Pure jnp so the CPU suite can drive it with threefry
+    bits (tests/test_pallas.py moment tests).
+    """
     u1 = jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) \
         * (1.0 / (1 << 24))
     u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) \
         * (1.0 / (1 << 24))
     u1 = jnp.maximum(u1, 1e-12)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def _normals(shape):
-    """Standard normals from the on-core PRNG via Box-Muller."""
-    return _bits_to_normals(pltpu.prng_random_bits(shape),
-                            pltpu.prng_random_bits(shape))
+    """Standard normals from the on-core PRNG via Box-Muller, using both
+    branches of each pair (half the PRNG draws and half the log/sqrt of
+    the one-branch form; odd leading dims drop one surplus row)."""
+    rows, cols = shape
+    half = (rows + 1) // 2
+    z1, z2 = _bits_to_normal_pairs(pltpu.prng_random_bits((half, cols)),
+                                   pltpu.prng_random_bits((half, cols)))
+    return jnp.concatenate([z1, z2], axis=0)[:rows, :]
 
 
 def make_mm(dtype):
@@ -340,6 +362,11 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
 
             # ---- Euler integration (+ optional noise), per object
             zs, means = [], []
+            if sample:
+                # one PRNG draw for all objects: (SD, TB) sliced per
+                # object below — fewer ops and less sublane padding than
+                # O separate (D, TB) draws
+                noise_all = _normals((SD, TB))
             for o in range(O):
                 out = outs[o]
                 mean = integrate_mean(z, out, o, cfg)
@@ -357,7 +384,8 @@ def _make_kernel(cfg: Config, horizon: int, TB: int, sample: bool,
                     std = jnp.concatenate(
                         [jnp.full((2, TB), size_std, jnp.float32), std_pvl],
                         axis=0)
-                    mean = mean + (sigma_temp * std) * _normals((D, TB))
+                    mean = mean + (sigma_temp * std) \
+                        * noise_all[D * o:D * (o + 1), :]
                 zs.append(mean)
 
             if reward_on:

@@ -319,6 +319,56 @@ class TestPallasRollout:
         # |x| = sqrt(-2 log 1e-12) ≈ 7.43 — assert the atom is gone
         assert (np.abs(x) > 6.5).sum() == 0
 
+    def test_box_muller_pair_moments_and_independence(self):
+        """Both Box-Muller branches must be standard normals and the
+        cos/sin pair uncorrelated (the round-5 noise-path optimization
+        consumes BOTH branches per uniform pair — a defect in either
+        branch would inject biased process noise into every sampled
+        pallas rollout)."""
+        import numpy as np
+
+        from stove_tpu.ops.pallas_rollout import _bits_to_normal_pairs
+
+        k1, k2 = jax.random.split(jax.random.key(13))
+        shape = (512, 512)
+        b1 = jax.random.randint(k1, shape, -(2 ** 31), 2 ** 31 - 1,
+                                dtype=jnp.int32)
+        b2 = jax.random.randint(k2, shape, -(2 ** 31), 2 ** 31 - 1,
+                                dtype=jnp.int32)
+        z1, z2 = _bits_to_normal_pairs(b1, b2)
+        z1 = np.asarray(z1).ravel()
+        z2 = np.asarray(z2).ravel()
+        n = z1.size
+        for z in (z1, z2):
+            assert abs(z.mean()) < 5.0 / np.sqrt(n), z.mean()
+            assert abs(z.std() - 1.0) < 0.01, z.std()
+            assert (np.abs(z) > 5.0).mean() < 1e-4
+            assert (np.abs(z) > 6.5).sum() == 0
+        # the two branches of a Box-Muller pair are exactly independent
+        corr = float(np.corrcoef(z1, z2)[0, 1])
+        assert abs(corr) < 5.0 / np.sqrt(n), corr
+
+    def test_normals_shape_odd_rows(self, monkeypatch):
+        """_normals must honor odd leading dims (it draws ceil(rows/2)
+        pairs and drops the surplus row).  `pltpu.prng_random_bits` has
+        no CPU lowering, so stub it with threefry bits and check the
+        shape/slicing logic directly."""
+        import numpy as np
+
+        from stove_tpu.ops import pallas_rollout as pr
+
+        keys = iter(jax.random.split(jax.random.key(17), 8))
+        monkeypatch.setattr(
+            pr.pltpu, "prng_random_bits",
+            lambda shape: jax.random.randint(
+                next(keys), shape, -(2 ** 31), 2 ** 31 - 1,
+                dtype=jnp.int32))
+        for rows in (11, 22, 1):
+            x = np.asarray(pr._normals((rows, 128)))
+            assert x.shape == (rows, 128)
+            assert np.isfinite(x).all()
+            assert x.std() > 0.5
+
     def test_action_reward_rollout_matches_xla(self):
         import jax.numpy as jnp
 
