@@ -202,47 +202,72 @@ def dyn_tile_core(params, mm, cfg: Config, z, act_term=None):
     embed features, self-core outputs, attention-pooled pair features, and
     the raw output-MLP rows (d_out, TB) — callers do integration /
     std-bounding / reward pooling themselves.
+
+    Layout: objects are stacked along the LANE axis — every matmul runs
+    once at (·, O·TB) (and the pair cores once at (·, O·(O−1)·TB))
+    instead of O (or O·(O−1)) narrow dispatches.  Per-column math is
+    unchanged (same K-reductions on the same data), so results are
+    bit-identical to the per-object form at both precisions; measured
+    +16% on the whole-horizon kernel (artifacts/r5/kernel_probe.json,
+    lane-stacking row).
     """
     O = cfg.num_obj
     D = cfg.full_state_dim
+    TB = z.shape[1]
 
-    es, ss = [], []
+    # ---- embed + self cores, all objects in one (·, O·TB) pass.
+    # The first (K=D) matmul stays per-object: z's D-row object slices sit
+    # at sublane offsets D·o mod 8, and Mosaic cannot lane-concat vectors
+    # whose non-concat (sublane) offsets differ ("result/input offset
+    # mismatch on non-concat dimension") — the matmul outputs are
+    # offset-0, so stacking starts at the first hidden layer.
+    xs = []
     for o in range(O):
         zo = z[D * o:D * (o + 1), :]                           # (D, TB)
         x = mm(params["w_e0"], zo, params["b_e0"])
         if act_term is not None:
-            x = x + act_term
-        x = jnp.maximum(x, 0.0)
-        e = mm(params["w_e1"], x, params["b_e1"])
-        es.append(e)
-        sx = mm(params["w_s0"], e, params["b_s0"], relu=True)
-        ss.append(mm(params["w_s1"], sx, params["b_s1"]))
+            x = x + act_term      # same action term for every object
+        xs.append(jnp.maximum(x, 0.0))
+    x_all = jnp.concatenate(xs, axis=1)                        # (h, O·TB)
+    e_all = mm(params["w_e1"], x_all, params["b_e1"])          # (h, O·TB)
+    sx = mm(params["w_s0"], e_all, params["b_s0"], relu=True)
+    s_all = mm(params["w_s1"], sx, params["b_s1"])
+    es = [e_all[:, o * TB:(o + 1) * TB] for o in range(O)]
+    ss = [s_all[:, o * TB:(o + 1) * TB] for o in range(O)]
 
-    # pair cores: recv_o + send_j broadcast adds, no pair tensor
-    recv = [mm(params["w_recv"], es[o]) for o in range(O)]
-    send = [mm(params["w_send"], es[o]) for o in range(O)]
+    # ---- pair cores: recv_o + send_j broadcast adds, no pair tensor;
+    # all O·(O−1) ordered pairs in one (·, P·TB) pass
+    recv_all = mm(params["w_recv"], e_all)                     # (h, O·TB)
+    send_all = mm(params["w_send"], e_all)
+    pairs = [(o, j) for o in range(O) for j in range(O) if j != o]
+    h1 = jnp.concatenate(
+        [recv_all[:, o * TB:(o + 1) * TB]
+         + send_all[:, j * TB:(j + 1) * TB] for o, j in pairs],
+        axis=1)                                                # (h, P·TB)
+    h1 = jnp.maximum(h1 + params["b_r0"][:], 0.0)
+    h2 = mm(params["w_r1"], h1, params["b_r1"], relu=True)
+    feat = mm(params["w_rf"], h2, params["b_rf"])
+    logit = (jnp.sum(h2 * params["w_ra"][:], axis=0, keepdims=True)
+             + params["b_ra"][0])                              # (1, P·TB)
+    term = feat * jax.nn.sigmoid(logit)
     rs = []
     for o in range(O):
         acc = None
-        for j in range(O):
-            if j == o:
+        for p, (po, _) in enumerate(pairs):
+            if po != o:
                 continue
-            h1 = jnp.maximum(recv[o] + send[j] + params["b_r0"][:], 0.0)
-            h2 = mm(params["w_r1"], h1, params["b_r1"], relu=True)
-            feat = mm(params["w_rf"], h2, params["b_rf"])
-            logit = (jnp.sum(h2 * params["w_ra"][:], axis=0, keepdims=True)
-                     + params["b_ra"][0])                      # (1, TB)
-            term = feat * jax.nn.sigmoid(logit)
-            acc = term if acc is None else acc + term
+            t = term[:, p * TB:(p + 1) * TB]
+            acc = t if acc is None else acc + t
         rs.append(acc)
 
-    outs = []
-    for o in range(O):
-        g = jnp.maximum(mm(params["w_o0s"], ss[o])
-                        + mm(params["w_o0r"], rs[o])
-                        + params["b_o0"][:], 0.0)
-        g = mm(params["w_o1"], g, params["b_o1"], relu=True)
-        outs.append(mm(params["w_o2"], g, params["b_o2"]))     # (d_out, TB)
+    # ---- output MLP, all objects in one pass
+    r_all = jnp.concatenate(rs, axis=1)                        # (h, O·TB)
+    g = jnp.maximum(mm(params["w_o0s"], s_all)
+                    + mm(params["w_o0r"], r_all)
+                    + params["b_o0"][:], 0.0)
+    g = mm(params["w_o1"], g, params["b_o1"], relu=True)
+    out_all = mm(params["w_o2"], g, params["b_o2"])            # (d_out, O·TB)
+    outs = [out_all[:, o * TB:(o + 1) * TB] for o in range(O)]
     return es, ss, rs, outs
 
 
